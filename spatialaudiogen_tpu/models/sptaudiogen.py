@@ -1,0 +1,262 @@
+"""SptAudioGen: mono + video -> first-order-ambisonics, as a Flax module.
+
+Re-design of the reference network (model.py:24-434) for TPU:
+
+  * STFT / masked-ISTFT run as real matmuls on the MXU (ops.dft), computed
+    only over the frame range the network consumes.
+  * Audio U-Net (VALID conv/deconv), ResNet18 visual encoders, FC bottleneck
+    and localization head are Flax modules named to mirror the TF scopes so
+    released TF1 checkpoints convert 1:1 (models.convert).
+  * All crop indices come from dsp.geometry.ModelGeometry (py2-faithful).
+
+Tensor trace at defaults (audio+video, unet_mask, order 1, batch B):
+  audio (B, 52799, 1) -> stft frames [46:173) -> mag (B, 127, 1024, 1)
+  conv stack -> (B,31,127,32)(B,15,31,64)(B,7,14,128)(B,5,10,256)(B,3,6,512)
+  video (B, 1, 224, 448, 3) -> ResNet18@conv5_2 -> (B, 7, 14, 512)
+  bottleneck -> (B, 3, 1536); localization -> w (B,4800,3,1,32), b (B,4800,3,1)
+  separation mask (B,1,32,28,1024); masked ISTFT -> (B,1,32,4800)
+  decode: sum_{in,track} w*s + b -> (B, 4800, 3)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from spatialaudiogen_tpu.dsp.geometry import ModelGeometry
+from spatialaudiogen_tpu.models.layers import Conv2D, Deconv2D, dense, loc_output_init
+from spatialaudiogen_tpu.models.resnet import ResNet18
+from spatialaudiogen_tpu.ops.dft import istft_real, stft_real
+
+AUDIO, VIDEO, FLOW = "audio", "video", "flow"
+ENCODERS = (AUDIO, VIDEO, FLOW)
+NO_SEPARATION, FREQ_MASK = "none", "unet_mask"
+
+# Audio U-Net architecture constants (model.py:162-164).
+AUDIO_FILTERS = (32, 64, 128, 256, 512)
+AUDIO_KERNELS = ((7, 16), (3, 7), (3, 5), (3, 5), (3, 5))
+AUDIO_STRIDES = ((4, 8), (2, 4), (2, 2), (1, 1), (1, 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class SptAudioGenConfig:
+    ambi_order: int = 1
+    audio_rate: int = 48000
+    video_rate: int = 10
+    context: float = 1.0
+    sample_duration: float = 0.1
+    encoders: tuple = (AUDIO, VIDEO)
+    separation: str = FREQ_MASK
+    sep_num_tracks: int = 32
+    loc_fc_units: tuple = (512, 512)
+    # Present for CLI/config parity; the reference defines but never uses
+    # these in the network (SptAudioGenParams fields, model.py:13-15).
+    ctx_feats_fc_units: tuple = (64, 128, 128)
+    sep_freq_mask_fc_units: tuple = (256,)
+    sep_fft_window: float = 0.025
+    dft_precision: str = "highest"
+    dtype: Any = None  # compute dtype for conv/fc stacks (None = float32)
+    # Reference quirk: BN inside the visual encoders always uses batch stats
+    # (is_training=finetune=True even at eval, model.py:388,396).
+    bn_batch_stats: bool = True
+
+    def __post_init__(self):
+        assert all(e in ENCODERS for e in self.encoders)
+        assert self.separation in (NO_SEPARATION, FREQ_MASK)
+
+    @property
+    def geometry(self) -> ModelGeometry:
+        return ModelGeometry(self.ambi_order, self.audio_rate, self.video_rate,
+                             self.context, self.sample_duration, self.sep_fft_window)
+
+    @property
+    def num_tracks(self) -> int:
+        return 1 if self.separation == NO_SEPARATION else self.sep_num_tracks
+
+
+class AudioEncoder(nn.Module):
+    """5-layer VALID conv stack over |STFT| (model.py:161-187)."""
+
+    cfg: SptAudioGenConfig
+
+    @nn.compact
+    def __call__(self, mag):
+        acts = [mag]
+        x = mag
+        for i, (nf, fs, st) in enumerate(zip(AUDIO_FILTERS, AUDIO_KERNELS, AUDIO_STRIDES)):
+            x = Conv2D(nf, fs, st, padding="VALID", activation=nn.relu,
+                       dtype=self.cfg.dtype, name=f"conv{i + 1}")(x)
+            acts.append(x)
+        return acts
+
+
+class Bottleneck(nn.Module):
+    """Per-modality FC reduction + fusion concat (model.py:203-239)."""
+
+    cfg: SptAudioGenConfig
+
+    @nn.compact
+    def __call__(self, enc: dict, use_audio: bool):
+        parts = []
+        if use_audio and AUDIO in enc:
+            audio_t = enc[AUDIO].shape[1]
+        else:
+            audio_t = 1  # graceful generalization; reference requires audio
+        for k in (AUDIO, VIDEO, FLOW):
+            if k == AUDIO and not use_audio:
+                continue
+            if k not in enc:
+                continue
+            x = enc[k]
+            if k != AUDIO:
+                x = dense(x, 128, name=f"{k}-fc-red", activation=nn.relu, dtype=self.cfg.dtype)
+                b = x.shape[0]
+                x = x.reshape(b, 1, -1)
+                x = dense(x, 512, name=f"{k}-fc", activation=nn.relu, dtype=self.cfg.dtype)
+                x = jnp.tile(x, (1, audio_t, 1))
+            else:
+                b, t = x.shape[:2]
+                x = x.reshape(b, t, -1)
+                x = dense(x, 1024, name=f"{k}-fc", activation=nn.relu, dtype=self.cfg.dtype)
+            parts.append(x)
+        return jnp.concatenate(parts, axis=2)
+
+
+class LocalizationHead(nn.Module):
+    """FC stack -> per-video-frame synthesis weights, tiled to audio rate
+    (model.py:241-271)."""
+
+    cfg: SptAudioGenConfig
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.cfg.geometry
+        num_out, num_in = g.num_out_channels, g.num_in_channels
+        tracks = self.cfg.num_tracks
+        for i, units in enumerate(self.cfg.loc_fc_units):
+            x = dense(x, units, name=f"fc{i + 1}", activation=nn.relu, dtype=self.cfg.dtype)
+        x = dense(x, num_out * num_in * (tracks + 1),
+                  name=f"fc{len(self.cfg.loc_fc_units) + 1}",
+                  kernel_init=loc_output_init(0.001), dtype=self.cfg.dtype)
+        b, t = x.shape[:2]
+        x = x.reshape(b, t, num_out, num_in, tracks + 1)
+        # upsample video-rate coefficients to audio rate by repetition
+        # (model.py:262-264; py2 int division snd_dur/t)
+        reps = g.snd_dur // t
+        x = jnp.repeat(x, reps, axis=1)
+        return x[..., :-1], x[..., -1]  # weights, biases
+
+
+class SeparationUNet(nn.Module):
+    """Deconv mirror of the audio encoder -> per-track sigmoid STFT mask ->
+    masked comb ISTFT (model.py:282-348)."""
+
+    cfg: SptAudioGenConfig
+
+    @nn.compact
+    def __call__(self, feats, audio_acts, stft_re, stft_im):
+        cfg, g = self.cfg, self.cfg.geometry
+        n_in = g.num_in_channels
+        tracks = cfg.sep_num_tracks
+
+        x = dense(feats, AUDIO_FILTERS[-1], name="fc-feats", activation=nn.relu, dtype=cfg.dtype)
+        # tile features across the freq axis of the deepest audio map
+        enc_freq = audio_acts[-1].shape[2]
+        x = jnp.tile(x[:, :, None, :], (1, 1, enc_freq, 1))
+        x = jnp.concatenate([audio_acts[-1], x], axis=3)
+
+        out_filters = (tracks * n_in,) + AUDIO_FILTERS[:-1]
+        for layer in reversed(range(len(AUDIO_FILTERS))):
+            x = Deconv2D(out_filters[layer], AUDIO_KERNELS[layer], AUDIO_STRIDES[layer],
+                         dtype=cfg.dtype, name=f"deconv{layer + 1}")(x)
+            if layer == 0:
+                break
+            x = jnp.concatenate([nn.relu(x), audio_acts[layer]], axis=3)
+
+        # mask crop in deconv-output frame coordinates (model.py:313-324)
+        x = x[:, g.deconv_ss: g.deconv_tt]                  # (B, 28, 1024, tracks*n_in)
+        x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
+        b = x.shape[0]
+        x = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
+        mask = nn.sigmoid(x.astype(jnp.float32))
+
+        # masked ISTFT: real mask times complex STFT == two real scalings
+        re = stft_re[:, :, None] * mask
+        im = stft_im[:, :, None] * mask
+        x_sep = istft_real(re, im, 4, precision=cfg.dft_precision)
+        return x_sep[..., g.out_ss: g.out_tt]                # (B, n_in, tracks, snd_dur)
+
+
+class SptAudioGen(nn.Module):
+    """Full model; call with (audio, video, flow) -> (B, snd_dur, n_out)."""
+
+    cfg: SptAudioGenConfig
+
+    @nn.compact
+    def __call__(self, audio, video=None, flow=None, train: bool = True,
+                 return_ends: bool = False):
+        cfg, g = self.cfg, self.cfg.geometry
+        assert audio.shape[1] == g.snd_size, (audio.shape, g.snd_size)
+        ends = {}
+
+        mono = audio.transpose(0, 2, 1)                      # (B, n_in, snd_size)
+        # STFT only over the frames the network touches ([enc_ss, enc_tt)).
+        re, im = stft_real(mono, g.wind_size, 4, precision=cfg.dft_precision,
+                           frame_start=g.enc_ss, n_frames=g.n_enc_frames)
+
+        enc = {}
+        if AUDIO in cfg.encoders:
+            mag = jnp.sqrt(re * re + im * im)                # (B, n_in, T_enc, F)
+            mag = mag.transpose(0, 2, 3, 1)                  # NHWC: (B, T_enc, F, n_in)
+            if cfg.dtype is not None:
+                mag = mag.astype(cfg.dtype)
+            acts = AudioEncoder(cfg, name="audio_encoder")(mag)
+            enc[AUDIO] = acts
+            ends["audio_encoder"] = acts[-1]
+
+        bn_train = train or cfg.bn_batch_stats
+        for name, frames in ((VIDEO, video), (FLOW, flow)):
+            if name in cfg.encoders:
+                assert frames is not None, f"{name} encoder requires {name} input"
+                b, t = frames.shape[:2]
+                x = frames.reshape((b * t,) + frames.shape[2:])
+                if cfg.dtype is not None:
+                    x = x.astype(cfg.dtype)
+                y, _ = ResNet18(truncate_at="conv5_2", dtype=cfg.dtype,
+                                name=f"{name}_encoder")(x, train=bn_train)
+                enc[name] = y
+                ends[f"{name}_encoder"] = y
+
+        feats = Bottleneck(cfg, name="bottleneck")(
+            {k: (v[-1] if k == AUDIO else v) for k, v in enc.items()},
+            use_audio=AUDIO in cfg.encoders)
+        ends["bottleneck"] = feats
+
+        weights, biases = LocalizationHead(cfg, name="localization")(feats)
+        ends["localization/weights"], ends["localization/biases"] = weights, biases
+
+        if cfg.separation == NO_SEPARATION:
+            x_sep = mono[:, :, g.nosep_ss: g.nosep_ss + g.snd_dur]
+            x_sep = x_sep[:, :, None, :]                     # (B, n_in, 1, snd_dur)
+        else:
+            # the mask frames are a sub-range of the encoder frame range
+            lo = g.mask_ss - g.enc_ss
+            hi = g.mask_tt - g.enc_ss
+            x_sep = SeparationUNet(cfg, name="separation")(
+                feats, enc[AUDIO], re[:, :, lo:hi], im[:, :, lo:hi])
+        ends["separation"] = x_sep
+
+        # decode: A_t = sum_tracks sum_in W_t * s_t + b_t (model.py:430)
+        s = x_sep.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, T, n_in, tracks)
+        ambi = jnp.einsum("btoik,btik->bto", weights.astype(jnp.float32), s) \
+            + biases[..., 0].astype(jnp.float32)
+        ends["decoder/ambix"] = ambi
+        return (ambi, ends) if return_ends else ambi
+
+    def no_decay_paths(self) -> tuple:
+        """Param path substrings excluded from L2 weight decay
+        (the localization output layer, model.py:253-256)."""
+        return (f"localization/fc{len(self.cfg.loc_fc_units) + 1}",)

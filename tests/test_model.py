@@ -1,0 +1,137 @@
+"""Shape/structure tests for the SptAudioGen Flax model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spatialaudiogen_tpu.models import SptAudioGen, SptAudioGenConfig
+from spatialaudiogen_tpu.models.layers import l2_regularization
+
+
+def _init_and_run(cfg, batch=2, frame_hw=(224, 448), seed=0):
+    g = cfg.geometry
+    rng = np.random.RandomState(seed)
+    audio = jnp.asarray(rng.randn(batch, g.snd_size, g.num_in_channels), jnp.float32)
+    video = flow = None
+    if "video" in cfg.encoders:
+        video = jnp.asarray(rng.rand(batch, g.vid_dur, *frame_hw, 3), jnp.float32) - 0.5
+    if "flow" in cfg.encoders:
+        flow = jnp.asarray(rng.rand(batch, g.vid_dur, *frame_hw, 3), jnp.float32) - 0.5
+    model = SptAudioGen(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, video, flow, train=False)
+    out, ends = model.apply(variables, audio, video, flow, train=False, return_ends=True)
+    return model, variables, out, ends
+
+
+def test_audio_only_nosep_shapes():
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="none")
+    g = cfg.geometry
+    model, variables, out, ends = _init_and_run(cfg)
+    assert out.shape == (2, g.snd_dur, 3)
+    assert ends["audio_encoder"].shape == (2, 3, 6, 512)
+    assert ends["bottleneck"].shape == (2, 3, 1024)
+    assert ends["localization/weights"].shape == (2, 4800, 3, 1, 1)
+    assert ends["separation"].shape == (2, 1, 1, 4800)
+
+
+def test_audio_only_unet_shapes():
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="unet_mask")
+    g = cfg.geometry
+    model, variables, out, ends = _init_and_run(cfg)
+    assert out.shape == (2, g.snd_dur, 3)
+    assert ends["separation"].shape == (2, 1, 32, 4800)
+    assert ends["localization/weights"].shape == (2, 4800, 3, 1, 32)
+    assert ends["localization/biases"].shape == (2, 4800, 3, 1)
+
+
+def test_audio_video_unet_shapes():
+    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask")
+    model, variables, out, ends = _init_and_run(cfg)
+    assert out.shape == (2, 4800, 3)
+    assert ends["video_encoder"].shape == (2, 7, 14, 512)  # B*T with T=1
+    assert ends["bottleneck"].shape == (2, 3, 1024 + 512)
+
+
+def test_audio_video_flow_bottleneck_width():
+    cfg = SptAudioGenConfig(encoders=("audio", "video", "flow"), separation="none")
+    model, variables, out, ends = _init_and_run(cfg, frame_hw=(64, 128))
+    assert ends["bottleneck"].shape == (2, 3, 1024 + 512 + 512)
+    assert out.shape == (2, 4800, 3)
+
+
+def test_param_tree_names_match_tf_scopes():
+    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask")
+    model, variables, _, _ = _init_and_run(cfg, frame_hw=(64, 128))
+    params = variables["params"]
+    assert set(params["audio_encoder"].keys()) == {f"conv{i}" for i in range(1, 6)}
+    assert "conv" in params["audio_encoder"]["conv1"]
+    assert {"conv2_1", "conv5_2", "conv1"} <= set(params["video_encoder"].keys())
+    assert {"audio-fc", "video-fc-red", "video-fc"} <= set(params["bottleneck"].keys())
+    assert {"fc1", "fc2", "fc3"} <= set(params["localization"].keys())
+    assert {"fc-feats", "deconv1", "deconv5"} <= set(params["separation"].keys())
+    # batch_stats only exist under the visual encoder (audio convs have no BN)
+    assert "video_encoder" in variables["batch_stats"]
+    assert "audio_encoder" not in variables["batch_stats"]
+
+
+def test_audio_conv_stack_trace():
+    """Pin the per-layer activation shapes of SURVEY/model-trace."""
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="unet_mask")
+    g = cfg.geometry
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(1, g.snd_size, 1), jnp.float32)
+    model = SptAudioGen(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, train=False)
+
+    from spatialaudiogen_tpu.models.sptaudiogen import AudioEncoder
+    from spatialaudiogen_tpu.ops.dft import stft_real
+
+    re, im = stft_real(audio.transpose(0, 2, 1), g.wind_size, 4,
+                       frame_start=g.enc_ss, n_frames=g.n_enc_frames)
+    mag = jnp.sqrt(re * re + im * im).transpose(0, 2, 3, 1)
+    acts = AudioEncoder(cfg).apply({"params": variables["params"]["audio_encoder"]}, mag)
+    shapes = [tuple(a.shape) for a in acts]
+    assert shapes == [(1, 127, 1024, 1), (1, 31, 127, 32), (1, 15, 31, 64),
+                      (1, 7, 14, 128), (1, 5, 10, 256), (1, 3, 6, 512)]
+
+
+def test_weight_decay_excludes_localization_output():
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="none")
+    model, variables, _, _ = _init_and_run(cfg)
+    params = variables["params"]
+    full = l2_regularization(params, 5e-4)
+    excl = l2_regularization(params, 5e-4, exclude=model.no_decay_paths())
+    # fc3 kernel is tiny-init so the difference is small but strictly positive
+    assert float(full) > float(excl) >= 0.0
+
+
+def test_nosep_passthrough_is_identity_crop():
+    """With separation='none' the separated track must be the mono crop."""
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="none")
+    g = cfg.geometry
+    rng = np.random.RandomState(1)
+    audio = jnp.asarray(rng.randn(1, g.snd_size, 1), jnp.float32)
+    model = SptAudioGen(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, train=False)
+    _, ends = model.apply(variables, audio, train=False, return_ends=True)
+    np.testing.assert_allclose(
+        np.asarray(ends["separation"][0, 0, 0]),
+        np.asarray(audio[0, g.nosep_ss: g.nosep_ss + g.snd_dur, 0]), atol=1e-7)
+
+
+def test_decoder_linear_synthesis():
+    """Decoder must equal sum_{in,tr} w*s + b computed by hand."""
+    cfg = SptAudioGenConfig(encoders=("audio",), separation="unet_mask",
+                            sep_num_tracks=4)
+    g = cfg.geometry
+    rng = np.random.RandomState(2)
+    audio = jnp.asarray(rng.randn(1, g.snd_size, 1), jnp.float32)
+    model = SptAudioGen(cfg)
+    variables = model.init(jax.random.PRNGKey(0), audio, train=False)
+    out, ends = model.apply(variables, audio, train=False, return_ends=True)
+    w = np.asarray(ends["localization/weights"])   # (1,T,3,1,4)
+    b = np.asarray(ends["localization/biases"])    # (1,T,3,1)
+    s = np.asarray(ends["separation"])             # (1,1,4,T)
+    manual = (w * s.transpose(0, 3, 1, 2)[:, :, None, :, :]).sum((3, 4)) + b[..., 0]
+    np.testing.assert_allclose(np.asarray(out), manual, atol=1e-4, rtol=1e-4)

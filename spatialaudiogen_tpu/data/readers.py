@@ -1,0 +1,257 @@
+"""Per-video multimodal chunk readers over the preprocessed frames layout.
+
+On-disk layout (produced by etl.preprocess / data.synthetic, identical to the
+reference's data/frames tree, README.md:81-96):
+
+    {video_id}/
+      ambix/000000.wav 000001.wav ...    1-second FOA chunks @ audio_rate
+      video/000000.jpg ...               10 fps RGB frames
+      flow/000000.jpg ... flow/flow_limits.npy   compressed flow (optional)
+      audio_pow.lst                      "t rms" lines every 0.1 s from t=0.5
+
+Behavioral parity with reference feeder.py:50-278: zero padding outside the
+recorded range, FOA azimuth rotation on audio + horizontal pixel roll on
+frames (same random rotation for all modalities of a chunk), silence
+skipping, eval-mode skip_rate subsampling and worker sharding.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from spatialaudiogen_tpu.ambisonics.rotation import rotate_foa
+from spatialaudiogen_tpu.utils.io_audio import load_wav, wav_info
+
+
+def _load_jpg(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img)
+
+
+class AudioChunkReader:
+    """Reads arbitrary [start_time, start_time+size) windows from 1 s wavs."""
+
+    def __init__(self, audio_folder: str, rate: int | None = None, ambi_order: int = 1):
+        self.audio_folder = audio_folder
+        fns = sorted(fn for fn in os.listdir(audio_folder) if fn.endswith(".wav"))
+        assert fns, f"no wav chunks in {audio_folder}"
+        self.num_files = len(fns)
+        n_frames, n_channels, native_rate = wav_info(os.path.join(audio_folder, fns[0]))
+        self.rate = float(native_rate if rate is None else rate)
+        self.num_channels = min(n_channels, (ambi_order + 1) ** 2)
+        self.duration = self.num_files  # seconds (1 s per file)
+        self.num_frames = int(self.duration * self.rate)
+        self._cache: dict = {}
+
+    def _load_second(self, i: int) -> np.ndarray:
+        if i not in self._cache:
+            if len(self._cache) > 8:
+                self._cache.clear()
+            fn = os.path.join(self.audio_folder, f"{i:06d}.wav")
+            self._cache[i] = load_wav(fn, self.rate)[0]
+        return self._cache[i]
+
+    def get(self, start_time: float, size: int, rotation: float | None = None) -> np.ndarray:
+        start_frame = int(start_time * self.rate)
+        pad_before = max(-start_frame, 0)
+        start_frame = max(start_frame, 0)
+        pad_after = max(start_frame + size - pad_before - self.num_frames, 0)
+        n_read = size - pad_before - pad_after
+
+        out = np.zeros((size, self.num_channels), dtype=np.float64)
+        if n_read > 0:
+            first = start_frame // int(self.rate)
+            last = (start_frame + n_read - 1) // int(self.rate)
+            parts = [self._load_second(i)[:, : self.num_channels]
+                     for i in range(first, min(last, self.num_files - 1) + 1)]
+            chunk = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            ss = start_frame - first * int(self.rate)
+            out[pad_before: pad_before + n_read] = chunk[ss: ss + n_read]
+
+        if rotation is not None:
+            assert -np.pi <= rotation < np.pi
+            assert self.num_channels == 4, "rotation implemented for FOA"
+            out = rotate_foa(out, rotation)
+        return out
+
+
+class VideoFrameReader:
+    """Reads jpg frame windows with optional azimuth roll augmentation."""
+
+    RAW_RATE = 10.0
+
+    def __init__(self, video_folder: str, rate: float | None = None, img_prep=None):
+        self.video_folder = video_folder
+        self.rate = rate if rate is not None else self.RAW_RATE
+        self.img_prep = img_prep if img_prep is not None else (lambda x: x)
+        frame_fns = [fn for fn in os.listdir(video_folder) if fn.endswith(".jpg")]
+        assert frame_fns, f"no jpg frames in {video_folder}"
+        self.num_frames = len(frame_fns)
+        self.duration = self.num_frames / self.RAW_RATE
+        img = _load_jpg(os.path.join(video_folder, sorted(frame_fns)[0]))
+        self.frame_shape = self.img_prep(img).shape
+
+    def get_by_index(self, start_time: float, size: int,
+                     rotation: float | None = None) -> np.ndarray:
+        ss = max(int(start_time * self.rate), 0)
+        chunk = []
+        for fno in range(ss, ss + size):
+            fno = min(fno, self.num_frames - 1)  # clamp at the last frame
+            frame = self.img_prep(_load_jpg(
+                os.path.join(self.video_folder, f"{fno:06d}.jpg")))
+            chunk.append(frame)
+        chunk = np.stack(chunk, 0) if len(chunk) > 1 else chunk[0][np.newaxis]
+        if rotation is not None:
+            # rotate the equirect view horizontally with the audio rotation
+            roll = -int(rotation / (2.0 * np.pi) * self.frame_shape[1])
+            chunk = np.roll(chunk, roll, axis=2)
+        return chunk
+
+
+class FlowFrameReader:
+    """Decompresses angle/magnitude jpg flow into (dx, dy, mag) float maps.
+
+    Channel semantics per reference feeder.py:147-161: jpg channel 0 holds
+    the quantized flow angle, channel 2 the magnitude normalized per-frame by
+    flow_limits.npy (T, 2) min/max rows.
+    """
+
+    def __init__(self, flow_dir: str, flow_lims_fn: str, rate: float | None = None,
+                 flow_prep=None):
+        self.reader = VideoFrameReader(flow_dir, rate=rate)
+        self.lims = np.load(flow_lims_fn)
+        self.rate = self.reader.rate
+        self.duration = self.reader.duration
+        self.frame_shape = self.reader.frame_shape
+
+    def get_by_index(self, start_time: float, size: int,
+                     rotation: float | None = None) -> np.ndarray:
+        chunk = self.reader.get_by_index(start_time, size, rotation).astype(np.float32)
+        ss = max(int(start_time * self.rate), 0)
+        t = chunk.shape[0]
+        m_min = self.lims[ss: ss + t, 0].reshape((-1, 1, 1))
+        m_max = self.lims[ss: ss + t, 1].reshape((-1, 1, 1))
+        mag = chunk[:, :, :, 2] * (m_max - m_min) / 255.0 + m_min
+        ang = chunk[:, :, :, 0] * (2 * np.pi) / 255.0
+        out = np.empty_like(chunk)
+        out[:, :, :, 0] = mag * np.cos(ang)
+        out[:, :, :, 1] = mag * np.sin(ang)
+        out[:, :, :, 2] = mag
+        return out
+
+
+def img_prep_default(x: np.ndarray) -> np.ndarray:
+    """Training image preprocessing (myutils.py:88-89): x/255 - 0.5."""
+    return x.astype(np.float32) / 255.0 - 0.5
+
+
+class SampleReader:
+    """Synchronized multimodal chunk extraction for one video
+    (parity with reference feeder.py:164-278)."""
+
+    def __init__(self, folder: str,
+                 ambi_order: int = 1,
+                 audio_rate: int = 48000,
+                 video_rate: int = 10,
+                 context: float = 1.0,
+                 duration: float = 0.1,
+                 return_video: bool = True,
+                 img_prep=None,
+                 return_flow: bool = False,
+                 flow_prep=None,
+                 skip_silence_thr: float | None = None,
+                 shuffle: bool = True,
+                 start_time: float = 0.5,
+                 sample_duration: float | None = None,
+                 skip_rate: int | None = None,
+                 random_rotations: bool = True,
+                 num_workers: int = 1,
+                 worker_id: int = 0,
+                 rng: np.random.RandomState | None = None):
+        a2v = float(audio_rate) / video_rate
+        snd_dur = duration * audio_rate
+        vid_dur = duration * video_rate
+        snd_ctx = context * audio_rate
+        assert a2v == int(a2v)
+        assert float(snd_dur) == int(snd_dur)
+        assert float(vid_dur) == int(vid_dur)
+        assert float(snd_ctx) == int(snd_ctx)
+
+        self.video_id = os.path.split(folder)[-1]
+        self.folder = folder
+        self.rng = rng if rng is not None else np.random.RandomState()
+
+        self.audio_reader = AudioChunkReader(os.path.join(folder, "ambix"),
+                                             audio_rate, ambi_order)
+        self.video_reader = None
+        self.flow_reader = None
+        if return_video:
+            self.video_reader = VideoFrameReader(os.path.join(folder, "video"),
+                                                 video_rate, img_prep)
+        if return_flow:
+            flow_dir = os.path.join(folder, "flow")
+            self.flow_reader = FlowFrameReader(flow_dir,
+                                               os.path.join(flow_dir, "flow_limits.npy"),
+                                               video_rate, flow_prep)
+
+        self.duration = duration
+        self.context = context
+        self.audio_rate = audio_rate
+        self.video_rate = video_rate
+        self.audio_size = int(snd_dur) + int(snd_ctx) - 1
+        self.video_size = int(vid_dur)
+        self.random_rotations = random_rotations
+
+        # candidate chunk start times from the precomputed power index
+        pow_fn = os.path.join(folder, "audio_pow.lst")
+        rows = [line.strip().split() for line in open(pow_fn)]
+        chunks_t = [float(r[0]) for r in rows]
+        chunks_pow = [float(r[1]) for r in rows]
+        if skip_rate is not None:
+            chunks_t = chunks_t[::skip_rate]
+            chunks_pow = chunks_pow[::skip_rate]
+        if skip_silence_thr is not None:
+            chunks_t = [t for t, p in zip(chunks_t, chunks_pow) if p > skip_silence_thr]
+        if start_time > 0.5:
+            chunks_t = [t for t in chunks_t if t >= start_time]
+        if sample_duration is not None:
+            chunks_t = [t for t in chunks_t if t < start_time + sample_duration]
+        if num_workers > 1:
+            lims = np.linspace(0, len(chunks_t), num_workers + 1).astype(int)
+            chunks_t = chunks_t[lims[worker_id]: lims[worker_id + 1]]
+        if shuffle:
+            perm = self.rng.permutation(len(chunks_t))
+            chunks_t = [chunks_t[i] for i in perm]
+        self.chunks_t = chunks_t
+        self.head = -1
+
+    def get(self):
+        self.head += 1
+        if self.head >= len(self.chunks_t):
+            return None
+        cur_t = self.chunks_t[self.head]
+        rotation = (self.rng.rand() * 2 * np.pi - np.pi) if self.random_rotations else None
+        chunk = {"id": f"{self.video_id} {cur_t}"}
+        audio_ss = cur_t - self.context / 2
+        chunk["ambix"] = self.audio_reader.get(audio_ss, self.audio_size,
+                                               rotation).astype(np.float32)
+        if self.video_reader is not None:
+            chunk["video"] = self.video_reader.get_by_index(
+                cur_t, self.video_size, rotation).astype(np.float32)
+        if self.flow_reader is not None:
+            chunk["flow"] = self.flow_reader.get_by_index(
+                cur_t, self.video_size, rotation).astype(np.float32)
+        return chunk
+
+    def loop_chunks(self, n: float = np.inf):
+        k = 0
+        while k < n:
+            k += 1
+            chunk = self.get()
+            if chunk is None:
+                break
+            yield chunk

@@ -1,0 +1,120 @@
+"""Training loop: feeder -> prefetch -> sharded step -> log/checkpoint.
+
+Orchestration parity with reference train.py:62-236 (config persistence and
+resume, 4 feeder workers, periodic stat prints, NaN abort, checkpoint every
+ckpt_every steps and at exit) on the TPU-native stack: host worker threads
+feed a double-buffered device prefetcher; the jitted DP(+TP) train step runs
+over a jax.sharding.Mesh.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import numpy as np
+
+from spatialaudiogen_tpu.config import TrainConfig
+from spatialaudiogen_tpu.data.pipeline import Feeder, device_prefetch
+from spatialaudiogen_tpu.models import SptAudioGen
+from spatialaudiogen_tpu.parallel.mesh import batch_sharding, make_mesh
+from spatialaudiogen_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from spatialaudiogen_tpu.train.lr import make_optimizer, staircase_decay
+from spatialaudiogen_tpu.train.state import create_train_state
+from spatialaudiogen_tpu.train.steps import jit_sharded, make_train_step
+from spatialaudiogen_tpu.utils.logging import MetricLogger
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        if cfg.resume:
+            loaded = TrainConfig.load(cfg.model_dir)
+            # architecture/geometry fields come from the stored run
+            for key in ("encoders", "separation", "ambi_order", "audio_rate",
+                        "video_rate", "context", "sample_dur", "num_sep_tracks",
+                        "fft_window", "context_units", "freq_mask_units", "loc_units"):
+                setattr(cfg, key, getattr(loaded, key))
+        cfg.save()
+
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data, cfg.n_model)
+        self.model = SptAudioGen(cfg.model_config())
+        self.tx = make_optimizer(cfg.lr, cfg.lr_decay, cfg.lr_iters)
+        self.lr_schedule = staircase_decay(cfg.lr, cfg.lr_decay, cfg.lr_iters)
+
+        self.feeder = Feeder(
+            cfg.db_dir, subset_fn=cfg.subset_fn, ambi_order=cfg.ambi_order,
+            audio_rate=cfg.audio_rate, video_rate=cfg.video_rate,
+            context=cfg.context, duration=cfg.sample_dur,
+            return_video="video" in cfg.encoders,
+            return_flow="flow" in cfg.encoders,
+            batch_size=cfg.batch_size, n_workers=cfg.n_workers,
+            for_eval=False, seed=cfg.seed)
+
+        example = self._example_batch()
+        state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),
+                                   example)
+        self.step_fn, self.state_shardings = jit_sharded(
+            make_train_step(self.model, self.tx, cfg.weight_decay),
+            state, self.tx, self.mesh)
+        state = jax.device_put(state, self.state_shardings)
+        self.init_step = 0
+        if cfg.resume:
+            state, step = restore_checkpoint(cfg.model_dir, state)
+            if step is not None:
+                self.init_step = int(step)
+                print(f"Restored checkpoint at step {step}")
+        self.state = state
+        self.logger = MetricLogger(cfg.model_dir)
+
+    def _example_batch(self) -> dict:
+        g = self.cfg.model_config().geometry
+        b = self.cfg.batch_size
+        batch = {"ambix": np.zeros((b, g.snd_size, g.num_ambi_channels), np.float32),
+                 "audio_mask": np.ones((b, g.num_ambi_channels), np.float32)}
+        hw = tuple(self.cfg.frame_hw)
+        if "video" in self.cfg.encoders:
+            batch["video"] = np.zeros((b, g.vid_dur) + hw + (3,), np.float32)
+        if "flow" in self.cfg.encoders:
+            batch["flow"] = np.zeros((b, g.vid_dur) + hw + (3,), np.float32)
+        return batch
+
+    def train(self):
+        cfg = self.cfg
+        bshard = batch_sharding(self.mesh)
+        self.feeder.start()
+        state = self.state
+        step = self.init_step
+        try:
+            stream = device_prefetch(self.feeder.batches(), sharding=bshard)
+            for dev_batch, _ in stream:
+                if step >= cfg.n_iters:
+                    break
+                t0 = time.perf_counter()
+                state, metrics = self.step_fn(state, dev_batch)
+                if step % cfg.log_every == 0:
+                    metrics = {k: float(v) for k, v in
+                               jax.device_get(metrics).items()}
+                    metrics["lr"] = float(self.lr_schedule(step))
+                    if math.isnan(metrics["total_loss"]):
+                        raise FloatingPointError(
+                            f"Training produced a NaN loss at step {step}.")
+                    self.logger.tick(time.perf_counter() - t0)
+                    self.logger.log(step, metrics, cfg.batch_size)
+                else:
+                    self.logger.tick(time.perf_counter() - t0)
+                step += 1
+                if cfg.ckpt_every and step % cfg.ckpt_every == 0:
+                    jax.block_until_ready(state.params)
+                    save_checkpoint(cfg.model_dir, state, step)
+                    print("=" * 60 + "\nCheckpoint saved\n" + "=" * 60)
+        finally:
+            print("End of training. Saving model.")
+            cfg.save()
+            jax.block_until_ready(state.params)
+            save_checkpoint(cfg.model_dir, state, step)
+            self.state = state
+            self.feeder.stop()
+            self.logger.close()
+        return state, step

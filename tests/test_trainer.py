@@ -1,0 +1,65 @@
+"""End-to-end training smoke test on a synthetic dataset (the fake-backend
+counterpart of the reference's dnn.py test_dnn logistic-regression smoke)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spatialaudiogen_tpu.config import TrainConfig
+from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+from spatialaudiogen_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def db(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("traindb"))
+    make_synthetic_dataset(root, n_videos=2, duration=3.0, frame_hw=(64, 128), seed=1)
+    return root
+
+
+def _cfg(db, model_dir, **kw):
+    base = dict(db_dir=db, model_dir=model_dir, encoders=("audio",),
+                separation="none", n_iters=4, batch_size=4, n_workers=2,
+                log_every=2, ckpt_every=0, n_data=1, seed=0)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_train_smoke_and_resume(db, tmp_path):
+    model_dir = str(tmp_path / "model")
+    cfg = _cfg(db, model_dir)
+    trainer = Trainer(cfg)
+    state, step = trainer.train()
+    assert step == 4
+
+    # config + metrics artifacts written
+    assert os.path.exists(os.path.join(model_dir, "train-params.json"))
+    assert os.path.exists(os.path.join(model_dir, "train-params.txt"))
+    lines = open(os.path.join(model_dir, "metrics.jsonl")).read().splitlines()
+    recs = [json.loads(l) for l in lines]
+    assert any(r["step"] == 0 for r in recs)
+    assert all(np.isfinite(r["total_loss"]) for r in recs if "total_loss" in r)
+
+    # checkpoint exists and resume continues from step 4
+    cfg2 = _cfg(db, model_dir, resume=True, n_iters=6)
+    trainer2 = Trainer(cfg2)
+    assert trainer2.init_step == 4
+    state2, step2 = trainer2.train()
+    assert step2 == 6
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = TrainConfig(db_dir="x", model_dir=str(tmp_path), encoders=("audio", "video"),
+                      loc_units=(256, 256), subset_fn=None)
+    cfg.save()
+    loaded = TrainConfig.load(str(tmp_path))
+    assert loaded.encoders == ("audio", "video")
+    assert loaded.loc_units == (256, 256)
+    # the reference-format txt parses too
+    os.remove(os.path.join(str(tmp_path), "train-params.json"))
+    loaded_txt = TrainConfig.load(str(tmp_path))
+    assert loaded_txt.encoders == ("audio", "video")
+    assert loaded_txt.loc_units == (256, 256)
+    assert loaded_txt.lr == cfg.lr

@@ -1,0 +1,50 @@
+"""Evaluator CLI — flag parity with reference eval.py:14-26.
+
+    python -m spatialaudiogen_tpu.cli.eval MODEL_DIR [--subset_fn F]
+        [--batch_size 16] [--overwrite] [--db_dir D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("model_dir")
+    parser.add_argument("--subset_fn", default="")
+    parser.add_argument("--batch_size", default=16, type=int)
+    parser.add_argument("--overwrite", action="store_true")
+    parser.add_argument("--db_dir", default=None,
+                        help="Override the dataset dir recorded at training time.")
+    parser.add_argument("--emd_ang_res", default=30, type=float)
+    args = parser.parse_args(argv)
+    if len(args.subset_fn) == 0:
+        args.subset_fn = None
+    return args
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    eval_fn = os.path.join(args.model_dir, "eval-detailed.txt")
+    assert os.path.exists(args.model_dir), "Model dir does not exist."
+    assert args.overwrite or not os.path.exists(eval_fn), "Evaluation file already exists."
+
+    from spatialaudiogen_tpu.eval.evaluator import Evaluator
+
+    evaluator = Evaluator(args.model_dir, subset_fn=args.subset_fn,
+                          batch_size=args.batch_size, db_dir=args.db_dir,
+                          emd_ang_res=args.emd_ang_res)
+    print(f"Restored checkpoint step {evaluator.restored_step}")
+    summary, results = evaluator.run(output_fn=eval_fn)
+    print(f"\nEvaluated {len(results)} samples")
+    for key, value in summary.items():
+        print(f"EVAL | {key}: {value:f}")
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

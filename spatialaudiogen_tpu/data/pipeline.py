@@ -93,6 +93,7 @@ class Feeder:
             maxsize=queue_size if queue_size is not None else 5 * batch_size)
         self._threads: list = []
         self._stop = threading.Event()
+        self._starved = threading.Event()
         self._n_live = 0
         self._lock = threading.Lock()
 
@@ -141,6 +142,7 @@ class Feeder:
                 num_epochs=1 if self.for_eval else np.inf,
                 shuffle=not self.for_eval, seed=self.seed * 1000 + worker_id)
             n_sampling = np.inf if self.for_eval else self.NUM_SAMPLING_TRAIN
+            consecutive_empty = 0
             for yid in provider.loop_samples():
                 if self._stop.is_set():
                     return
@@ -162,6 +164,17 @@ class Feeder:
                     worker_id=worker_id if self.for_eval else 0,
                     num_workers=self.n_workers if self.for_eval else 1,
                     rng=rng)
+                if not reader.chunks_t:
+                    # every chunk of this video was filtered (e.g. all-silent
+                    # under skip_silence_thr); in train mode a full dataset
+                    # cycle of that would starve the queue forever — fail
+                    # loudly. (Eval worker shards may be legitimately empty.)
+                    consecutive_empty += 1
+                    if not self.for_eval and consecutive_empty >= provider.num_samples:
+                        self._starved.set()
+                        return
+                    continue
+                consecutive_empty = 0
                 for chunk in reader.loop_chunks(n_sampling):
                     chunk["audio_mask"] = self.channel_mask.get(yid, self._default_mask)
                     while not self._stop.is_set():
@@ -189,6 +202,11 @@ class Feeder:
             try:
                 items.append(self._queue.get(timeout=0.2))
             except queue.Empty:
+                if self._starved.is_set():
+                    raise RuntimeError(
+                        "Feeder starved: every candidate chunk was filtered "
+                        "out (check skip_silence_thr vs the dataset's "
+                        "audio_pow.lst levels).")
                 if self.for_eval and self._exhausted():
                     if items:
                         yield self._collate(items)

@@ -61,7 +61,12 @@ def make_video(root: str, yid: str, duration: float = 4.0, audio_rate: int = 480
     keypoints = [Position(phi0, nu0, 1.0, "polar"), Position(phi1, nu1, 1.0, "polar")]
     src = MovingSource(sig, keypoints, audio_rate)
     foa = AmbiEncoder(AmbiFormat(order=1, sample_rate=audio_rate)).encode_moving(src).data
-    foa *= 0.7 / (np.abs(foa).max() + 1e-9)
+    # Scale so the W channel clears the training silence gate (rms 0.2,
+    # feeder thresholds at pipeline.Feeder) without clipping PCM16.
+    w_rms = np.sqrt((foa[:, 0] ** 2).mean())
+    scale = min(0.3 / (w_rms + 1e-9), 0.95 / (np.abs(foa).max() + 1e-9))
+    foa *= scale
+    assert np.sqrt((foa[:, 0] ** 2).mean()) > 0.22, "synthetic W too quiet"
 
     n_secs = int(duration)
     for i in range(n_secs):

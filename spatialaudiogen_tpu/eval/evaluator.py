@@ -1,0 +1,180 @@
+"""Evaluator: one deterministic pass over the test split, full metric battery.
+
+Parity with reference eval.py:29-233: restores the latest checkpoint from
+model_dir (config from train-params), iterates the eval feeder (duration
+0.1 s, skip_rate 10), computes on-device stft/lsd/mse/snr per sample plus
+host-side mel-LSD, envelope and EMD (ang_res=30), and writes
+model_dir/eval-detailed.txt with one line per sample for
+parse_eval_results-style aggregation.
+
+TPU-minded deviations: the device metrics run as one jitted step per batch;
+the host metrics run in a thread pool overlapped with the next device batch;
+the final partial batch is zero-padded on device and truncated on host
+(the reference silently drops it).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import numpy as np
+
+from spatialaudiogen_tpu.ambisonics.emd import ambix_emd
+from spatialaudiogen_tpu.config import TrainConfig
+from spatialaudiogen_tpu.data.pipeline import Feeder
+from spatialaudiogen_tpu.eval.host_metrics import compute_envelope_dist, compute_mel_lsd
+from spatialaudiogen_tpu.models import SptAudioGen
+from spatialaudiogen_tpu.train.checkpoint import restore_checkpoint
+from spatialaudiogen_tpu.train.lr import make_optimizer
+from spatialaudiogen_tpu.train.state import create_train_state
+from spatialaudiogen_tpu.train.steps import make_eval_step
+
+ALL_METRICS = [
+    "amplitude/predicted", "amplitude/gt",
+    "mse/avg", "mse/X", "mse/Y", "mse/Z",
+    "stft/avg", "stft/X", "stft/Y", "stft/Z",
+    "lsd/avg", "lsd/X", "lsd/Y", "lsd/Z",
+    "mel_lsd/avg", "mel_lsd/X", "mel_lsd/Y", "mel_lsd/Z",
+    "snr/avg", "snr/X", "snr/Y", "snr/Z",
+    "env_mse/avg", "env_mse/X", "env_mse/Y", "env_mse/Z",
+    "emd/dir", "emd/dir2",
+]
+EVAL_DURATION = 0.1   # eval.py:43
+EVAL_BATCH = 16       # eval.py:44 (hardcoded there as well)
+
+
+class Evaluator:
+    def __init__(self, model_dir: str, subset_fn: str | None = None,
+                 batch_size: int = EVAL_BATCH, db_dir: str | None = None,
+                 n_workers: int = 4, emd_ang_res: float = 30,
+                 scales: dict | None = None):
+        self.cfg = TrainConfig.load(model_dir)
+        self.cfg.model_dir = model_dir
+        if db_dir is not None:
+            self.cfg.db_dir = db_dir
+        self.cfg.sample_dur = EVAL_DURATION
+        self.batch_size = batch_size
+        self.emd_ang_res = emd_ang_res
+        self.model = SptAudioGen(self.cfg.model_config())
+        self.eval_fn = jax.jit(make_eval_step(self.model))
+
+        tx = make_optimizer()
+        self.feeder = Feeder(
+            self.cfg.db_dir, subset_fn=subset_fn, ambi_order=self.cfg.ambi_order,
+            audio_rate=self.cfg.audio_rate, video_rate=self.cfg.video_rate,
+            context=self.cfg.context, duration=EVAL_DURATION,
+            return_video="video" in self.cfg.encoders,
+            return_flow="flow" in self.cfg.encoders,
+            batch_size=batch_size, n_workers=n_workers, for_eval=True)
+
+        example = self._example_batch()
+        state = create_train_state(self.model, tx, jax.random.PRNGKey(0), example)
+        self.state, step = restore_checkpoint(model_dir, state)
+        assert step is not None, f"no checkpoint found in {model_dir}"
+        self.restored_step = step
+
+    def _example_batch(self):
+        g = self.cfg.model_config().geometry
+        batch = {"ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
+                 "audio_mask": np.ones((1, g.num_ambi_channels), np.float32)}
+        hw = tuple(self.cfg.frame_hw)
+        if "video" in self.cfg.encoders:
+            batch["video"] = np.zeros((1, g.vid_dur) + hw + (3,), np.float32)
+        if "flow" in self.cfg.encoders:
+            batch["flow"] = np.zeros((1, g.vid_dur) + hw + (3,), np.float32)
+        return batch
+
+    def _pad(self, batch: dict):
+        n = batch["ambix"].shape[0]
+        if n == self.batch_size:
+            return batch, n
+        out = {}
+        for k, v in batch.items():
+            if k == "id":
+                out[k] = v
+                continue
+            pad = np.zeros((self.batch_size - n,) + v.shape[1:], v.dtype)
+            out[k] = np.concatenate([v, pad], axis=0)
+        return out, n
+
+    def _host_metrics(self, sample):
+        """Per-sample host metric computation (runs in the worker pool)."""
+        sid, mono, gt, pred, layout, stft_d, lsd, mse, snr = sample
+        rec = OrderedDict()
+        rec["stft/avg"] = float(np.mean(stft_d))
+        rec["lsd/avg"] = float(np.mean(lsd))
+        rec["mse/avg"] = float(np.mean(mse))
+        rec["snr/avg"] = float(np.nanmean(snr))
+        for i, ch in zip(range(3), "YZX"):
+            rec[f"stft/{ch}"] = float(stft_d[i])
+            rec[f"lsd/{ch}"] = float(lsd[i])
+            rec[f"mse/{ch}"] = float(mse[i])
+            rec[f"snr/{ch}"] = float(snr[i])
+
+        mel = compute_mel_lsd(pred, gt, self.cfg.audio_rate)
+        env = compute_envelope_dist(pred, gt)
+        rec["mel_lsd/avg"] = float(np.mean(mel))
+        rec["env_mse/avg"] = float(np.mean(env))
+        for i, ch in zip(range(3), "YZX"):
+            rec[f"mel_lsd/{ch}"] = float(mel[i])
+            rec[f"env_mse/{ch}"] = float(env[i])
+
+        gt_m = np.concatenate([mono, gt], axis=1) * layout[None, :]
+        pred_m = np.concatenate([mono, pred], axis=1) * layout[None, :]
+        emd_dir, emd_dir2 = ambix_emd(pred_m, gt_m, self.cfg.audio_rate,
+                                      ang_res=self.emd_ang_res)
+        rec["emd/dir"] = float(emd_dir)
+        rec["emd/dir2"] = float(emd_dir2)
+        rec["amplitude/gt"] = float(np.abs(gt).max())
+        rec["amplitude/predicted"] = float(np.abs(pred).max())
+        return sid, rec
+
+    def run(self, output_fn: str | None = None, host_threads: int = 8,
+            print_every: int = 5, max_batches: int | None = None):
+        output_fn = output_fn or os.path.join(self.cfg.model_dir, "eval-detailed.txt")
+        results: list = []
+        self.feeder.start()
+        t_start = time.time()
+        try:
+            with ThreadPoolExecutor(max_workers=host_threads) as pool:
+                futures = []
+                for it, batch in enumerate(self.feeder.batches()):
+                    if max_batches is not None and it >= max_batches:
+                        break
+                    padded, n_valid = self._pad(batch)
+                    arrays = {k: v for k, v in padded.items() if k != "id"}
+                    pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
+                    pred, mono, target = map(np.asarray, (pred, mono, target))
+                    ps = {k: np.asarray(v) for k, v in per_sample.items()}
+                    scales = {"stft": 100.0, "mse": 5e3, "lsd": 1.0, "snr": 1.0}
+                    for smp in range(n_valid):
+                        sample = (batch["id"][smp], mono[smp], target[smp], pred[smp],
+                                  batch["audio_mask"][smp],
+                                  ps["stft"][smp] * scales["stft"],
+                                  ps["lsd"][smp],
+                                  ps["mse"][smp] * scales["mse"],
+                                  ps["snr"][smp])
+                        futures.append(pool.submit(self._host_metrics, sample))
+                    if print_every and it % print_every == 0:
+                        done = sum(f.done() for f in futures)
+                        print(f"eval: batch {it}, {len(futures)} samples queued, "
+                              f"{done} scored, {time.time() - t_start:.1f}s")
+                results = [f.result() for f in futures]
+        finally:
+            self.feeder.stop()
+
+        self._write_detailed(output_fn, results)
+        summary = {m: float(np.mean([rec[m] for _, rec in results]))
+                   for m in ALL_METRICS} if results else {}
+        return summary, results
+
+    @staticmethod
+    def _write_detailed(fn: str, results: list):
+        with open(fn, "w") as f:
+            f.write("SampleID | {}\n".format(" ".join(ALL_METRICS)))
+            for sid, rec in results:
+                f.write("{} | {}\n".format(sid, " ".join(str(rec[m]) for m in ALL_METRICS)))

@@ -1,0 +1,74 @@
+"""Deploy CLI — flag parity with reference deploy.py:14-38.
+
+    python -m spatialaudiogen_tpu.cli.deploy MODEL_DIR INPUT_FOLDER VIDEO \
+        [--deploy_start 0] [--deploy_duration 10] [--output_fn out] \
+        [--save_ambix] [--save_video] [--overlay_map] [--VR] [--crossfade]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import tempfile
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("model_dir", help="Directory containing model snapshot.")
+    parser.add_argument("input_folder", help="Folder with input sample (frames layout).")
+    parser.add_argument("video", nargs="?", default="", help="High resolution video.")
+    parser.add_argument("--deploy_start", default=0.0, type=float)
+    parser.add_argument("--deploy_duration", default=10.0, type=float)
+    parser.add_argument("--output_fn", default="output")
+    parser.add_argument("--save_ambix", action="store_true")
+    parser.add_argument("--save_video", action="store_true")
+    parser.add_argument("--overlay_map", action="store_true")
+    parser.add_argument("--VR", action="store_true", help="360 video output.")
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--crossfade", action="store_true",
+                        help="Hann-blend half-offset passes at window seams.")
+    args = parser.parse_args(argv)
+    if args.deploy_duration <= 0:
+        args.deploy_duration = None
+    return args
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+    from spatialaudiogen_tpu.utils.io_audio import save_wav
+
+    model = MonoToAmbix(args.model_dir, batch_size=args.batch_size)
+    print(f"Restored checkpoint step {model.restored_step}")
+    print("Generating ambisonics...")
+    ambi = model.deploy(args.input_folder, args.deploy_start, args.deploy_duration,
+                        crossfade=args.crossfade)
+
+    tmp_ambix = tempfile.mktemp(prefix="sag_", suffix=".wav")
+    save_wav(tmp_ambix, ambi, model.cfg.audio_rate)
+    print(f"Predicted {ambi.shape[0] / model.cfg.audio_rate:.1f}s of "
+          f"{ambi.shape[1]}-channel ambisonics")
+
+    if args.save_ambix:
+        out = args.output_fn if args.output_fn.endswith(".wav") else args.output_fn + ".wav"
+        subprocess.run(["cp", tmp_ambix, out], check=True)
+        print(f"Saved ambisonics wav: {out}")
+
+    if args.save_video:
+        assert args.video, "--save_video requires the VIDEO argument"
+        from spatialaudiogen_tpu.deploy.mux import gen_360video
+
+        tmp_video = tempfile.mktemp(prefix="sag_", suffix=".mp4")
+        subprocess.run(["ffmpeg", "-y", "-ss", str(args.deploy_start), "-i", args.video,
+                        "-t", str(args.deploy_duration), tmp_video], check=True)
+        gen_360video(tmp_ambix, tmp_video, args.output_fn,
+                     overlay_map=args.overlay_map, inject_meta=args.VR,
+                     binauralize=not args.VR, ambi_order=model.cfg.ambi_order)
+        os.remove(tmp_video)
+    os.remove(tmp_ambix)
+
+
+if __name__ == "__main__":
+    main()

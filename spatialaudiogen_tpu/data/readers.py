@@ -56,7 +56,10 @@ class AudioChunkReader:
         return self._cache[i]
 
     def get(self, start_time: float, size: int, rotation: float | None = None) -> np.ndarray:
-        start_frame = int(start_time * self.rate)
+        # round-to-nearest, not truncation: float times like 1.4 - 0.5 land at
+        # 43199.99999999999 samples; the reference truncates (feeder.py:66)
+        # and drifts one sample early on such windows — we align exactly.
+        start_frame = int(round(start_time * self.rate))
         pad_before = max(-start_frame, 0)
         start_frame = max(start_frame, 0)
         pad_after = max(start_frame + size - pad_before - self.num_frames, 0)

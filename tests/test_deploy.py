@@ -1,0 +1,143 @@
+"""Deploy path tests: sliding-window inference, SA3D injection, mux dry-run."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from spatialaudiogen_tpu.config import TrainConfig
+from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+from spatialaudiogen_tpu.deploy.mux import binauralize_stereo, gen_360video
+from spatialaudiogen_tpu.deploy.sa3d import (
+    Box,
+    SPHERICAL_UUID,
+    inject_spatial_metadata,
+    make_sa3d_box,
+    parse_top_level,
+)
+from spatialaudiogen_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("deploydb"))
+    make_synthetic_dataset(root, n_videos=1, duration=4.0, frame_hw=(64, 128), seed=7)
+    model_dir = str(tmp_path_factory.mktemp("deploymodel"))
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir, encoders=("audio",),
+                      separation="none", n_iters=2, batch_size=2, n_workers=1,
+                      log_every=10, ckpt_every=0, n_data=1)
+    Trainer(cfg).train()
+    return root, model_dir
+
+
+def test_deploy_shapes_and_mono_passthrough(trained):
+    root, model_dir = trained
+    model = MonoToAmbix(model_dir, batch_size=4)
+    ambi = model.deploy(os.path.join(root, "synth000"), deploy_start=0.5,
+                        deploy_duration=1.0)
+    rate = model.cfg.audio_rate
+    assert ambi.shape == (int(1.0 * rate), 4)
+    # the W channel is the original mono, bit-for-bit from the input windows
+    from spatialaudiogen_tpu.data.readers import AudioChunkReader
+
+    reader = AudioChunkReader(os.path.join(root, "synth000", "ambix"), rate, 1)
+    expected_w = reader.get(0.5, int(1.0 * rate))[:, 0]
+    np.testing.assert_allclose(ambi[:, 0], expected_w.astype(np.float32), atol=1e-6)
+    assert np.isfinite(ambi).all()
+
+
+def test_deploy_crossfade_matches_length(trained):
+    root, model_dir = trained
+    model = MonoToAmbix(model_dir, batch_size=4)
+    plain = model.deploy(os.path.join(root, "synth000"), 0.5, 1.0, crossfade=False)
+    xfade = model.deploy(os.path.join(root, "synth000"), 0.5, 1.0, crossfade=True)
+    assert xfade.shape[0] <= plain.shape[0]
+    assert xfade.shape[1] == plain.shape[1]
+    assert np.isfinite(xfade).all()
+
+
+# --- SA3D / mp4 box editing ---
+
+def _fake_mp4():
+    stco_payload = struct.pack(">II", 0, 2) + struct.pack(">II", 100, 200)
+    mp4a = Box(b"mp4a", children=[Box(b"esds", b"\x00" * 8)],
+               header_extra=b"\x00" * 28)
+    stsd_a = Box(b"stsd", children=[mp4a], header_extra=struct.pack(">II", 0, 1))
+    stbl_a = Box(b"stbl", children=[stsd_a, Box(b"stco", stco_payload)])
+    trak_a = Box(b"trak", children=[Box(b"mdia", children=[
+        Box(b"minf", children=[Box(b"smhd", b"\x00" * 4), stbl_a])])])
+
+    avc1 = Box(b"avc1", b"\x00" * 70)
+    stsd_v = Box(b"stsd", children=[avc1], header_extra=struct.pack(">II", 0, 1))
+    trak_v = Box(b"trak", children=[Box(b"mdia", children=[
+        Box(b"minf", children=[Box(b"vmhd", b"\x00" * 4),
+                               Box(b"stbl", children=[stsd_v])])])])
+
+    moov = Box(b"moov", children=[Box(b"mvhd", b"\x00" * 100), trak_a, trak_v])
+    ftyp = Box(b"ftyp", b"isom\x00\x00\x02\x00mp41")
+    mdat = Box(b"mdat", b"\x00" * 64)
+    return ftyp.serialize() + moov.serialize() + mdat.serialize()
+
+
+def test_box_roundtrip():
+    data = _fake_mp4()
+    boxes = parse_top_level(data)
+    assert [b.type for b in boxes] == [b"ftyp", b"moov", b"mdat"]
+    assert b"".join(b.serialize() for b in boxes) == data
+
+
+def test_sa3d_injection():
+    data = _fake_mp4()
+    out = inject_spatial_metadata(data, spatial_audio=True, spherical_video=True)
+    boxes = parse_top_level(out)
+    moov = boxes[1]
+    sa3d = moov.find_all(b"SA3D")
+    assert len(sa3d) == 1
+    payload = sa3d[0].payload
+    version, atype = struct.unpack(">BB", payload[:2])
+    order = struct.unpack(">I", payload[2:6])[0]
+    ordering, norm = struct.unpack(">BB", payload[6:8])
+    nch = struct.unpack(">I", payload[8:12])[0]
+    chmap = struct.unpack(f">{nch}I", payload[12:12 + 4 * nch])
+    assert (version, atype, order, ordering, norm) == (0, 0, 1, 0, 0)
+    assert chmap == (0, 1, 2, 3)
+    # spherical uuid on the video trak
+    uuids = moov.find_all(b"uuid")
+    assert len(uuids) == 1
+    assert uuids[0].payload.startswith(SPHERICAL_UUID)
+    assert b"equirectangular" in uuids[0].payload
+    # idempotent
+    again = inject_spatial_metadata(out)
+    assert len(parse_top_level(again)[1].find_all(b"SA3D")) == 1
+
+
+def test_sa3d_shifts_chunk_offsets_when_moov_first():
+    data = _fake_mp4()  # moov precedes mdat
+    out = inject_spatial_metadata(data)
+    moov = parse_top_level(out)[1]
+    stco = moov.find_all(b"stco")[0]
+    count = struct.unpack(">I", stco.payload[4:8])[0]
+    offsets = struct.unpack(f">{count}I", stco.payload[8:8 + 4 * count])
+    delta = len(out) - len(data)
+    assert delta > 0
+    assert offsets == (100 + delta, 200 + delta)
+
+
+def test_mux_dry_run_commands(tmp_path):
+    log = gen_360video("a.wav", "v.mp4", str(tmp_path / "out.mp4"),
+                       inject_meta=True, overlay_map=True, dry_run=True)
+    joined = "\n".join(log)
+    assert joined.count("ffmpeg") == 3  # split audio, split video, mix
+    assert "-vn" in joined and "-an" in joined
+    assert "inject_spatial_metadata" in joined
+
+
+def test_binauralize_stereo_is_w_pm_y():
+    rng = np.random.RandomState(0)
+    amb = rng.randn(100, 4)
+    st = binauralize_stereo(amb)
+    ratio = (amb[:, 0] + amb[:, 1]) / st[:, 0]
+    np.testing.assert_allclose(ratio, ratio[0], rtol=1e-6)
+    np.testing.assert_allclose(st[:, 1] * ratio[0], amb[:, 0] - amb[:, 1], rtol=1e-5)

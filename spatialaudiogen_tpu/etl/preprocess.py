@@ -1,0 +1,197 @@
+"""Dataset preprocessing: raw downloads -> the frames layout the feeder reads.
+
+Parity with reference scraping/preprocess.py:
+  * prepare_ambisonics: 48 kHz resample + codec-specific channel remap to
+    ACN order — aac streams arrive [Y, Z, W, ?, X] permuted and need
+    pan c0..c3 = c2,c1,c4,c0; vorbis/opus are already WYZX
+    (preprocess.py:21-28)
+  * prepare_video: ER crop/scale, or EAC -> equirect through generated
+    PGM coordinate maps + ffmpeg `remap` (preprocess.py:37-95)
+  * extract_frames: 1-second wavs + jpg frames (preprocess.py:98-143)
+  * compute_audio_pow: "t rms" index every 0.1 s from t=0.5
+    (preprocess.py:146-153)
+  * compress_flow: float flow fields -> angle/magnitude jpgs +
+    flow_limits.npy (the encoding FlowReader expects, preprocess.py:156-204;
+    FlowNet2 inference itself stays an external model — any (T, H, W, 2)
+    flow source can be ingested)
+  * worker pool across processes (preprocess.py:234-285)
+
+ffmpeg steps are built as command lists and run via run_system_cmd
+(dry_run supported); the pure-python steps run anywhere.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+
+import numpy as np
+
+from spatialaudiogen_tpu.etl.projections import gen_eac2eqr_maps, save_pgm
+from spatialaudiogen_tpu.utils.cmd import run_system_cmd
+from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+
+AAC_REMAP = (2, 1, 4, 0)
+IDENTITY_REMAP = (0, 1, 2, 3)
+
+
+def ambisonics_cmd(inp_fn: str, out_fn: str, inp_codec: str) -> list:
+    if inp_codec == "aac":
+        remap = AAC_REMAP
+    elif inp_codec in ("vorbis", "opus"):
+        remap = IDENTITY_REMAP
+    else:
+        raise ValueError(f"{inp_fn}: unknown input codec: {inp_codec}")
+    pan = "pan=4c|" + "|".join(f"c{i}=c{c}" for i, c in enumerate(remap))
+    return ["ffmpeg", "-y", "-i", inp_fn, "-vn", "-ar", "48000", "-af", pan, out_fn]
+
+
+def prepare_ambisonics(inp_fn: str, out_fn: str, inp_codec: str,
+                       overwrite: bool = False, dry_run: bool = False):
+    if os.path.exists(out_fn) and not overwrite:
+        return None
+    cmd = ambisonics_cmd(inp_fn, out_fn, inp_codec)
+    run_system_cmd(cmd, dry_run=dry_run)
+    return cmd
+
+
+def video_cmds(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
+               out_shape, out_rate: int, in_shape=None, pgm_dir: str = "pgms") -> list:
+    """ffmpeg command(s) for ER/EAC videos; generates remap PGMs for EAC."""
+    cmds = []
+    if projection == "ER":
+        filters = []
+        if stereopsis == "STEREO":
+            filters.append("crop=in_w:in_h/2:0:0")
+        filters.append(f"scale={out_shape[1]}:{out_shape[0]}")
+        cmds.append(["ffmpeg", "-y", "-i", inp_fn, "-an", "-r", str(out_rate),
+                     "-pix_fmt", "yuv420p", "-vf", ",".join(filters), out_fn])
+    elif projection == "EAC":
+        assert in_shape is not None, "EAC remap needs the input frame shape"
+        height, width = in_shape
+        os.makedirs(pgm_dir, exist_ok=True)
+        # maps rendered at 2x then downscaled, like preprocess.py:56-60
+        hi_shape = (out_shape[0] * 2, out_shape[1] * 2)
+        tag = f"{height}x{width}_{hi_shape[0]}x{hi_shape[1]}_{stereopsis}"
+        xmap_fn = os.path.join(pgm_dir, f"xmap_{tag}.pgm")
+        ymap_fn = os.path.join(pgm_dir, f"ymap_{tag}.pgm")
+        if not (os.path.isfile(xmap_fn) and os.path.isfile(ymap_fn)):
+            xmap, ymap = gen_eac2eqr_maps((height, width), hi_shape, stereopsis)
+            with open(xmap_fn, "w") as f:
+                save_pgm(f, xmap.astype(np.uint16), 2 ** 16 - 1)
+            with open(ymap_fn, "w") as f:
+                save_pgm(f, ymap.astype(np.uint16), 2 ** 16 - 1)
+        tmp_fn = out_fn + ".remap.mp4"
+        cmds.append(["ffmpeg", "-y", "-i", inp_fn, "-i", xmap_fn, "-i", ymap_fn,
+                     "-an", "-r", str(out_rate), "-lavfi", "remap", tmp_fn])
+        cmds.append(["ffmpeg", "-y", "-i", tmp_fn, "-pix_fmt", "yuv420p",
+                     "-vf", f"scale={out_shape[1]}:{out_shape[0]}", out_fn])
+    else:
+        raise ValueError(f"unknown projection: {projection}")
+    return cmds
+
+
+def prepare_video(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
+                  out_shape=(224, 448), out_rate: int = 10, in_shape=None,
+                  overwrite: bool = False, dry_run: bool = False, pgm_dir: str = "pgms"):
+    if os.path.exists(out_fn) and not overwrite:
+        return None
+    cmds = video_cmds(inp_fn, stereopsis, projection, out_fn, out_shape,
+                      out_rate, in_shape, pgm_dir)
+    for cmd in cmds:
+        run_system_cmd(cmd, dry_run=dry_run)
+    return cmds
+
+
+def extract_frames(audio_fn: str, video_fn: str | None, frames_dir: str,
+                   rate: int = 48000, video_rate: float = 10.0):
+    """Split a prepared 4-channel wav into 1 s chunks and a video into jpgs."""
+    audio_dir = os.path.join(frames_dir, "ambix")
+    os.makedirs(audio_dir, exist_ok=True)
+    data, _ = load_wav(audio_fn, rate)
+    n_secs = data.shape[0] // rate
+    for i in range(n_secs):
+        save_wav(os.path.join(audio_dir, f"{i:06d}.wav"),
+                 data[i * rate: (i + 1) * rate], rate)
+
+    if video_fn is not None:
+        from PIL import Image
+
+        from spatialaudiogen_tpu.utils.io_video import BasicVideoReader
+
+        video_dir = os.path.join(frames_dir, "video")
+        os.makedirs(video_dir, exist_ok=True)
+        reader = BasicVideoReader(video_fn, rate=video_rate)
+        n_frames = int(video_rate * n_secs)
+        for i in range(n_frames):
+            frame = reader.get()
+            if frame is None:
+                break
+            Image.fromarray(frame).save(os.path.join(video_dir, f"{i:06d}.jpg"),
+                                        quality=92)
+    return n_secs
+
+
+def compute_audio_pow(frames_dir: str, rate: int = 48000):
+    """Write audio_pow.lst: W-channel rms per 0.1 s window from t=0.5."""
+    from spatialaudiogen_tpu.data.readers import AudioChunkReader
+
+    reader = AudioChunkReader(os.path.join(frames_dir, "ambix"), rate)
+    out_fn = os.path.join(frames_dir, "audio_pow.lst")
+    win = rate // 10
+    with open(out_fn, "w") as f:
+        for i in range((reader.duration - 1) * 10):
+            t = i / 10.0 + 0.5
+            sig = reader.get(t, win)
+            f.write(f"{t} {np.sqrt((sig[:, 0] ** 2).mean())}\n")
+    return out_fn
+
+
+def compress_flow(flow: np.ndarray, flow_dir: str):
+    """Store (T, H, W, 2) float flow as angle/magnitude jpgs + limits.
+
+    Encoding matches what FlowFrameReader decodes (readers.py): jpg ch0 =
+    angle quantized over [0, 2pi), ch2 = magnitude normalized per frame by
+    flow_limits.npy rows (min, max).
+    """
+    from PIL import Image
+
+    os.makedirs(flow_dir, exist_ok=True)
+    n = flow.shape[0]
+    lims = np.zeros((n, 2), np.float32)
+    for i in range(n):
+        fx, fy = flow[i, :, :, 0], flow[i, :, :, 1]
+        mag = np.sqrt(fx ** 2 + fy ** 2)
+        ang = np.arctan2(fy, fx) % (2 * np.pi)
+        m_min, m_max = float(mag.min()), float(mag.max())
+        lims[i] = (m_min, m_max)
+        scale = (m_max - m_min) or 1.0
+        img = np.zeros(flow.shape[1:3] + (3,), np.uint8)
+        img[:, :, 0] = np.clip(ang * 255 / (2 * np.pi), 0, 255)
+        img[:, :, 2] = np.clip((mag - m_min) * 255 / scale, 0, 255)
+        Image.fromarray(img).save(os.path.join(flow_dir, f"{i:06d}.jpg"), quality=95)
+    np.save(os.path.join(flow_dir, "flow_limits.npy"), lims)
+    return lims
+
+
+def preprocess_video_worker(job: dict):
+    """One video end-to-end (the per-process unit of the ETL pool)."""
+    prepare_ambisonics(job["audio_fn"], job["prep_audio_fn"], job["codec"],
+                       dry_run=job.get("dry_run", False))
+    if job.get("video_fn"):
+        prepare_video(job["video_fn"], job.get("stereopsis", "MONO"),
+                      job.get("projection", "ER"), job["prep_video_fn"],
+                      in_shape=job.get("in_shape"), dry_run=job.get("dry_run", False))
+    if not job.get("dry_run"):
+        extract_frames(job["prep_audio_fn"], job.get("prep_video_fn"),
+                       job["frames_dir"])
+        compute_audio_pow(job["frames_dir"])
+    return job["frames_dir"]
+
+
+def preprocess_all(jobs: list, n_workers: int = 4):
+    """Process-parallel ETL over per-video jobs (preprocess.py:234-285)."""
+    if n_workers <= 1:
+        return [preprocess_video_worker(j) for j in jobs]
+    with mp.Pool(n_workers) as pool:
+        return pool.map(preprocess_video_worker, jobs)

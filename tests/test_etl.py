@@ -1,0 +1,143 @@
+"""ETL tests: projection geometry roundtrips and command construction."""
+
+import numpy as np
+import pytest
+
+from spatialaudiogen_tpu.etl.download import build_download_cmd, download_all
+from spatialaudiogen_tpu.etl.preprocess import (
+    ambisonics_cmd,
+    compress_flow,
+    compute_audio_pow,
+    extract_frames,
+    video_cmds,
+)
+from spatialaudiogen_tpu.etl.projections import (
+    FACES,
+    equirect_rays,
+    equirect_to_eac,
+    face_uv_to_ray,
+    gen_eac2eqr_maps,
+    ray_to_face_uv,
+    remap,
+)
+
+
+def test_face_uv_ray_roundtrip():
+    rng = np.random.RandomState(0)
+    for name_idx, face in enumerate(FACES):
+        u = rng.uniform(0.05, 0.95, 200)
+        v = rng.uniform(0.05, 0.95, 200)
+        rays = face_uv_to_ray(face, u, v)
+        fi, u2, v2 = ray_to_face_uv(rays)
+        assert np.all(fi == name_idx), face
+        np.testing.assert_allclose(u2, u, atol=1e-9)
+        np.testing.assert_allclose(v2, v, atol=1e-9)
+
+
+def test_equirect_rays_cardinal_directions():
+    rays = equirect_rays(180, 360)
+    # center pixel: theta ~ 0, phi ~ 0 -> +x (front)
+    np.testing.assert_allclose(rays[90, 180], [1, 0, 0], atol=0.03)
+    # top row: phi = -pi/2 -> -z
+    assert rays[0, 180][2] < -0.99
+
+
+def _smooth_pattern(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        128 + 100 * np.sin(2 * np.pi * x / w),
+        128 + 100 * np.cos(2 * np.pi * y / h),
+        128 + 60 * np.sin(4 * np.pi * x / w) * np.cos(2 * np.pi * y / h),
+    ], axis=-1)
+    return img.astype(np.float64)
+
+
+@pytest.mark.parametrize("stereopsis", ["MONO", "STEREO"])
+def test_eac_roundtrip(stereopsis):
+    """equirect -> EAC -> (maps) -> equirect must reproduce the image."""
+    eqr = _smooth_pattern(90, 180)
+    eac_shape = (120, 180) if stereopsis == "MONO" else (180, 240)
+    eac = equirect_to_eac(eqr, eac_shape, stereopsis)
+    xmap, ymap = gen_eac2eqr_maps(eac_shape, (90, 180), stereopsis)
+    back = remap(eac, xmap, ymap)
+    # skip the poles (top/bottom 15%) where angular resolution is lowest
+    sl = slice(14, 76)
+    err = np.abs(back[sl] - eqr[sl])
+    assert err.mean() < 6.0, err.mean()
+    assert np.median(err) < 3.0
+
+
+def test_ambisonics_remap_cmds():
+    cmd = ambisonics_cmd("in.m4a", "out.wav", "aac")
+    assert "pan=4c|c0=c2|c1=c1|c2=c4|c3=c0" in " ".join(cmd)
+    cmd = ambisonics_cmd("in.webm", "out.wav", "opus")
+    assert "pan=4c|c0=c0|c1=c1|c2=c2|c3=c3" in " ".join(cmd)
+    with pytest.raises(ValueError):
+        ambisonics_cmd("in.xxx", "out.wav", "mp3")
+
+
+def test_video_cmds(tmp_path):
+    er = video_cmds("in.mp4", "STEREO", "ER", "out.mp4", (224, 448), 10)
+    assert len(er) == 1 and "crop=in_w:in_h/2:0:0,scale=448:224" in " ".join(er[0])
+    eac = video_cmds("in.mp4", "MONO", "EAC", str(tmp_path / "out.mp4"),
+                     (56, 112), 10, in_shape=(120, 180), pgm_dir=str(tmp_path))
+    assert len(eac) == 2
+    assert "remap" in " ".join(eac[0])
+    assert (tmp_path / "xmap_120x180_112x224_MONO.pgm").exists()
+    header = open(tmp_path / "xmap_120x180_112x224_MONO.pgm").readline()
+    assert header.strip() == "P2"
+
+
+def test_download_cmds(tmp_path):
+    db = tmp_path / "db.lst"
+    db.write_text("abc123\nxyz789\n")
+    fmts = tmp_path / "audio_formats.txt"
+    fmts.write_text("abc123 251\n")
+    cmds = download_all(str(db), str(tmp_path), audio_formats_fn=str(fmts),
+                        dry_run=True)
+    assert len(cmds) == 4  # audio+video per id
+    joined = [" ".join(c) for c in cmds]
+    assert any("-f 251" in c and "abc123" in c for c in joined)
+    assert all("--download-archive" in c for c in joined)
+    assert any("-f bestaudio" in c and "xyz789" in c for c in joined)
+
+
+def test_flow_compress_decompress_roundtrip(tmp_path):
+    # smooth fields (real optical flow is smooth; jpg would destroy noise)
+    y, x = np.mgrid[0:32, 0:64]
+    base = np.stack([2 * np.sin(2 * np.pi * x / 64) + 0.5,
+                     1.5 * np.cos(2 * np.pi * y / 32) - 0.3], axis=-1)
+    flow = np.stack([base * (1 + 0.2 * k) for k in range(3)]).astype(np.float32)
+    flow_dir = str(tmp_path / "flow")
+    compress_flow(flow, flow_dir)
+
+    from spatialaudiogen_tpu.data.readers import FlowFrameReader
+
+    reader = FlowFrameReader(flow_dir, flow_dir + "/flow_limits.npy", rate=10)
+    got = reader.get_by_index(0, 3)
+    # channel 2 is magnitude; 0/1 are x/y components (jpg-lossy)
+    mag = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    assert got.shape == (3, 32, 64, 3)
+    assert np.abs(got[..., 2] - mag).mean() < 0.25
+    assert np.abs(got[..., 0] - flow[..., 0]).mean() < 0.6
+    assert np.abs(got[..., 1] - flow[..., 1]).mean() < 0.6
+
+
+def test_extract_frames_and_audio_pow(tmp_path):
+    from spatialaudiogen_tpu.utils.io_audio import save_wav
+
+    rng = np.random.RandomState(2)
+    wav_fn = str(tmp_path / "prep.wav")
+    save_wav(wav_fn, rng.randn(3 * 8000, 4) * 0.3, 8000)
+    frames_dir = str(tmp_path / "frames")
+    n = extract_frames(wav_fn, None, frames_dir, rate=8000)
+    assert n == 3
+    import os
+
+    assert sorted(os.listdir(frames_dir + "/ambix")) == [
+        "000000.wav", "000001.wav", "000002.wav"]
+    out = compute_audio_pow(frames_dir, rate=8000)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 20  # (3-1)*10 windows
+    t0, p0 = map(float, lines[0].split())
+    assert t0 == 0.5 and p0 > 0.2

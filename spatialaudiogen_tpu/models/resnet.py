@@ -107,6 +107,127 @@ class ResNet18(nn.Module):
         return y, ends
 
 
+class BottleneckBlock(nn.Module):
+    """1x1-3x3-1x1 bottleneck with optional conv shortcut (resnet.py:33-41)."""
+
+    b2a: int
+    b2b: int
+    b2c: int
+    b1: int | None = None
+    downsample: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        s = 2 if self.downsample else 1
+        if self.b1 is not None:
+            shortcut = Conv2D(self.b1, (1, 1), (s, s), padding="SAME", use_bias=False,
+                              use_batch_norm=True, activation=None, dtype=self.dtype,
+                              name="branch1")(x, train)
+        else:
+            shortcut = x
+        y = Conv2D(self.b2a, (1, 1), (s, s), padding="SAME", use_bias=False,
+                   use_batch_norm=True, activation=nn.relu, dtype=self.dtype,
+                   name="branch2a")(x, train)
+        y = Conv2D(self.b2b, (3, 3), (1, 1), padding="SAME", use_bias=False,
+                   use_batch_norm=True, activation=nn.relu, dtype=self.dtype,
+                   name="branch2b")(y, train)
+        y = Conv2D(self.b2c, (1, 1), (1, 1), padding="SAME", use_bias=False,
+                   use_batch_norm=True, activation=None, dtype=self.dtype,
+                   name="branch2c")(y, train)
+        return nn.relu(y + shortcut)
+
+
+class ResNetBottleneck(nn.Module):
+    """ResNet-50/101/152 with caffe-style block names (res2a..res5c) and
+    truncate_at early exit (reference resnet.py:251-449)."""
+
+    stage_blocks: tuple = (3, 4, 6, 3)  # ResNet50
+    truncate_at: str | None = None
+    num_classes: int = 1000
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ends = {}
+        y = Conv2D(64, (7, 7), (2, 2), padding="SAME", use_bias=False,
+                   use_batch_norm=True, activation=nn.relu, dtype=self.dtype,
+                   name="conv1")(x, train)
+        y = nn.max_pool(y, (3, 3), (2, 2), "SAME")
+        ends["conv1"] = y
+        if self.truncate_at == "conv1":
+            return y, ends
+
+        widths = ((64, 64, 256), (128, 128, 512), (256, 256, 1024), (512, 512, 2048))
+        for stage_idx, n_blocks in enumerate(self.stage_blocks):
+            b2a, b2b, b2c = widths[stage_idx]
+            for block_idx in range(n_blocks):
+                # caffe naming: res2a..res2c; stages with >26 blocks (152's
+                # res4) switch to the msra 'b{i}' style
+                if n_blocks <= 26:
+                    letter = chr(ord("a") + block_idx)
+                else:
+                    letter = "a" if block_idx == 0 else f"b{block_idx}"
+                name = f"res{stage_idx + 2}{letter}"
+                first = block_idx == 0
+                y = BottleneckBlock(
+                    b2a, b2b, b2c, b1=b2c if first else None,
+                    downsample=first and stage_idx > 0, dtype=self.dtype,
+                    name=name)(y, train)
+                ends[name] = y
+                if self.truncate_at == name:
+                    return y, ends
+        y = jnp.mean(y, axis=(1, 2))
+        y = nn.Dense(self.num_classes, name="fc1000")(y)
+        ends["fc1000"] = y
+        return y, ends
+
+
+def ResNet50(**kw):
+    return ResNetBottleneck(stage_blocks=(3, 4, 6, 3), **kw)
+
+
+def ResNet101(**kw):
+    return ResNetBottleneck(stage_blocks=(3, 4, 23, 3), **kw)
+
+
+def ResNet152(**kw):
+    return ResNetBottleneck(stage_blocks=(3, 8, 36, 3), **kw)
+
+
+def load_caffe_style_npy(npy_path: str, variables: dict, in_channels: int = 3):
+    """Load ResNet-50/101/152 npy blobs keyed 'res2a_branch2a'/'bn2a_branch2a'
+    (reference resnet.py:43-106 layout) into Flax variables."""
+    import numpy as np
+
+    from spatialaudiogen_tpu.models.convert import restore_tf_var_dict
+
+    raw = np.load(npy_path, allow_pickle=True)
+    blob = raw.item() if hasattr(raw, "item") else dict(raw)
+    tf_vars = {}
+    for key, val in blob.items():
+        if key.startswith("res") and isinstance(val, dict):
+            scope = key.replace("_", "/", 1)           # res2a_branch2a -> res2a/branch2a
+            tf_vars[f"{scope}/weights"] = val["weights"]
+        elif key.startswith("bn") and isinstance(val, dict):
+            scope = "res" + key[2:].replace("_", "/", 1)  # bn2a_branch2a -> res2a/branch2a
+            tf_vars[f"{scope}/bn/gamma"] = val["scale"]
+            tf_vars[f"{scope}/bn/beta"] = val["offset"]
+            tf_vars[f"{scope}/bn/moving_mean"] = val["mean"]
+            tf_vars[f"{scope}/bn/moving_variance"] = val["variance"]
+        elif key == "conv1" and isinstance(val, dict):
+            tf_vars["conv1/weights"] = val["weights"]
+        elif key == "bn_conv1" and isinstance(val, dict):
+            tf_vars["conv1/bn/gamma"] = val["scale"]
+            tf_vars["conv1/bn/beta"] = val["offset"]
+            tf_vars["conv1/bn/moving_mean"] = val["mean"]
+            tf_vars["conv1/bn/moving_variance"] = val["variance"]
+        elif key == "fc1000" and isinstance(val, dict):
+            tf_vars["fc1000/weights"] = val["weights"]
+            tf_vars["fc1000/biases"] = val["biases"]
+    return restore_tf_var_dict(tf_vars, variables, conv1_in_channels=in_channels)
+
+
 def load_npy_weights(npy_path: str, variables: dict, in_channels: int = 3,
                      prefix: str = ""):
     """Load a reference-style resnet18.npy (flat TF var-name dict) into Flax

@@ -5,6 +5,12 @@ reference deploy.py workload, deploy.py:41-152) in a batched sliding-window
 configuration on one chip and reports how many seconds of spatial audio are
 generated per wall-clock second.
 
+Measurement notes: on the axon tunnel backend jax.block_until_ready does not
+reliably block, so the result is reduced to a scalar on device and fetched
+per run-end (in-order execution queue => the fetch waits for all queued
+steps). Compiled executables persist in .jax_cache so reruns skip the long
+tunnel compile.
+
 BASELINE.json target: >= 50x realtime per v5e chip (vs_baseline = value/50).
 
 Prints exactly one JSON line.
@@ -16,13 +22,14 @@ import time
 import numpy as np
 
 BASELINE_REALTIME = 50.0
+BATCH = 128   # sliding windows per step; each emits 0.1 s of FOA
+N_ITERS = 60
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    # First compile of the batch-32 graph takes minutes on this backend;
-    # persist compiled executables so reruns start in seconds.
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -32,30 +39,28 @@ def main():
     g = cfg.geometry
     model = SptAudioGen(cfg)
 
-    batch = 32  # windows per step; each window emits 0.1 s of FOA
     rng = np.random.RandomState(0)
-    audio = rng.randn(batch, g.snd_size, g.num_in_channels).astype(np.float32) * 0.1
-    video = (rng.rand(batch, g.vid_dur, 224, 448, 3).astype(np.float32) - 0.5)
+    audio = rng.randn(BATCH, g.snd_size, g.num_in_channels).astype(np.float32) * 0.1
+    video = (rng.rand(BATCH, g.vid_dur, 224, 448, 3).astype(np.float32) - 0.5)
 
     variables = jax.jit(
         lambda a, v: model.init(jax.random.PRNGKey(0), a, v, train=False)
     )(audio[:1], video[:1])
-    fwd = jax.jit(lambda vars_, a, v: model.apply(vars_, a, v, train=False))
+    fwd = jax.jit(
+        lambda vars_, a, v: jnp.sum(model.apply(vars_, a, v, train=False) ** 2))
 
     d_audio, d_video = jax.device_put(audio), jax.device_put(video)
-    out = jax.block_until_ready(fwd(variables, d_audio, d_video))  # compile
-    assert bool(jax.numpy.isfinite(out).all())
+    checksum = float(fwd(variables, d_audio, d_video))  # compile + sync
+    assert np.isfinite(checksum)
 
-    # steady state
-    n_iters = 30
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for _ in range(N_ITERS):
         out = fwd(variables, d_audio, d_video)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
+    checksum = float(out)  # forces completion of the whole in-order queue
+    dt = (time.perf_counter() - t0) / N_ITERS
+    assert np.isfinite(checksum)
 
-    audio_sec_per_step = batch * g.snd_dur / g.audio_rate
-    realtime = audio_sec_per_step / dt
+    realtime = BATCH * g.snd_dur / g.audio_rate / dt
     print(json.dumps({
         "metric": "deploy_realtime_factor",
         "value": round(realtime, 2),

@@ -133,6 +133,27 @@ class ModelGeometry:
     def out_tt(self) -> int:
         return self.out_ss + self.snd_dur
 
+    # --- narrowed deconv1 computation window ------------------------------
+    # The mask path only keeps deconv1 output frames [deconv_ss, deconv_tt);
+    # with a VALID transposed conv (kernel k, stride s) those depend only on
+    # input frames [ceil((t0-(k-1))/s), floor((t1-1)/s)]. Computing deconv1
+    # on that input slice is exact (every kept output frame sees all its
+    # contributors) and skips ~3/4 of the reference's deconv1 work.
+    @property
+    def deconv1_in_lo(self) -> int:
+        k, s = 7, 4  # AUDIO_KERNELS[0]/AUDIO_STRIDES[0] time dims
+        return max(0, -(-(self.deconv_ss - (k - 1)) // s))
+
+    @property
+    def deconv1_in_hi(self) -> int:
+        s = 4
+        return (self.deconv_tt - 1) // s + 1
+
+    @property
+    def narrowed_deconv_ss(self) -> int:
+        """deconv_ss in the narrowed deconv1 output's coordinates."""
+        return self.deconv_ss - self.deconv1_in_lo * 4
+
     # --- no-separation crop (model.py:275-276, py2 int division) ---
     @property
     def nosep_ss(self) -> int:

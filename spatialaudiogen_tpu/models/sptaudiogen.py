@@ -29,7 +29,12 @@ import jax.numpy as jnp
 from spatialaudiogen_tpu.dsp.geometry import ModelGeometry
 from spatialaudiogen_tpu.models.layers import Conv2D, Deconv2D, dense, loc_output_init
 from spatialaudiogen_tpu.models.resnet import ResNet18
-from spatialaudiogen_tpu.ops.dft import istft_real, stft_real
+from spatialaudiogen_tpu.ops.dft import (
+    istft_from_masked_hermitian,
+    istft_real,
+    mirror_hermitian_magnitude,
+    stft_real,
+)
 
 AUDIO, VIDEO, FLOW = "audio", "video", "flow"
 ENCODERS = (AUDIO, VIDEO, FLOW)
@@ -58,6 +63,12 @@ class SptAudioGenConfig:
     sep_freq_mask_fc_units: tuple = (256,)
     sep_fft_window: float = 0.025
     dft_precision: str = "highest"
+    # Exploit Hermitian symmetry of the real-input spectrum: analysis and
+    # masked synthesis run on wind/2+1 bins (exact algebra, ~2x fewer DFT
+    # FLOPs). Measured SLOWER on v5e despite fewer FLOPs — 513-wide matmuls
+    # pad to 5x128 lanes and relayout costs exceed the savings — so the
+    # default stays on the full-bin formulation; flip for narrow-MXU parts.
+    hermitian_dft: bool = False
     dtype: Any = None  # compute dtype for conv/fc stacks (None = float32)
     # Reference quirk: BN inside the visual encoders always uses batch stats
     # (is_training=finetune=True even at eval, model.py:388,396).
@@ -143,11 +154,10 @@ class LocalizationHead(nn.Module):
                   kernel_init=loc_output_init(0.001), dtype=self.cfg.dtype)
         b, t = x.shape[:2]
         x = x.reshape(b, t, num_out, num_in, tracks + 1)
-        # upsample video-rate coefficients to audio rate by repetition
-        # (model.py:262-264; py2 int division snd_dur/t)
-        reps = g.snd_dur // t
-        x = jnp.repeat(x, reps, axis=1)
-        return x[..., :-1], x[..., -1]  # weights, biases
+        # NOTE: coefficients stay at video rate here; the decoder applies
+        # them blockwise, which equals the reference's repeat-to-audio-rate
+        # materialization (model.py:262-264) without the 4800x tensor.
+        return x[..., :-1], x[..., -1]  # weights (B,T,out,in,tr), biases (B,T,out,in)
 
 
 class SeparationUNet(nn.Module):
@@ -170,23 +180,32 @@ class SeparationUNet(nn.Module):
 
         out_filters = (tracks * n_in,) + AUDIO_FILTERS[:-1]
         for layer in reversed(range(len(AUDIO_FILTERS))):
+            if layer == 0:
+                # Only frames [deconv_ss, deconv_tt) of deconv1 survive the
+                # mask crop; restrict computation to the contributing input
+                # slice (exact — see geometry.deconv1_in_lo).
+                x = x[:, g.deconv1_in_lo: g.deconv1_in_hi]
             x = Deconv2D(out_filters[layer], AUDIO_KERNELS[layer], AUDIO_STRIDES[layer],
                          dtype=cfg.dtype, name=f"deconv{layer + 1}")(x)
             if layer == 0:
                 break
             x = jnp.concatenate([nn.relu(x), audio_acts[layer]], axis=3)
 
-        # mask crop in deconv-output frame coordinates (model.py:313-324)
-        x = x[:, g.deconv_ss: g.deconv_tt]                  # (B, 28, 1024, tracks*n_in)
+        # mask crop in (narrowed) deconv-output frame coords (model.py:313-324)
+        x = x[:, g.narrowed_deconv_ss: g.narrowed_deconv_ss + g.n_mask_frames]
         x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
         b = x.shape[0]
         x = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
         mask = nn.sigmoid(x.astype(jnp.float32))
 
         # masked ISTFT: real mask times complex STFT == two real scalings
-        re = stft_re[:, :, None] * mask
-        im = stft_im[:, :, None] * mask
-        x_sep = istft_real(re, im, 4, precision=cfg.dft_precision)
+        if cfg.hermitian_dft:
+            x_sep = istft_from_masked_hermitian(
+                stft_re[:, :, None], stft_im[:, :, None], mask, 4,
+                n_freqs=g.wind_size, precision=cfg.dft_precision)
+        else:
+            x_sep = istft_real(stft_re[:, :, None] * mask, stft_im[:, :, None] * mask,
+                               4, precision=cfg.dft_precision)
         return x_sep[..., g.out_ss: g.out_tt]                # (B, n_in, tracks, snd_dur)
 
 
@@ -203,13 +222,17 @@ class SptAudioGen(nn.Module):
         ends = {}
 
         mono = audio.transpose(0, 2, 1)                      # (B, n_in, snd_size)
-        # STFT only over the frames the network touches ([enc_ss, enc_tt)).
+        # STFT only over the frames the network touches ([enc_ss, enc_tt)),
+        # and only the non-redundant half-spectrum when hermitian_dft is on.
         re, im = stft_real(mono, g.wind_size, 4, precision=cfg.dft_precision,
-                           frame_start=g.enc_ss, n_frames=g.n_enc_frames)
+                           frame_start=g.enc_ss, n_frames=g.n_enc_frames,
+                           half=cfg.hermitian_dft)
 
         enc = {}
         if AUDIO in cfg.encoders:
-            mag = jnp.sqrt(re * re + im * im)                # (B, n_in, T_enc, F)
+            mag = jnp.sqrt(re * re + im * im)                # (B, n_in, T_enc, F')
+            if cfg.hermitian_dft:
+                mag = mirror_hermitian_magnitude(mag)        # back to full bins
             mag = mag.transpose(0, 2, 3, 1)                  # NHWC: (B, T_enc, F, n_in)
             if cfg.dtype is not None:
                 mag = mag.astype(cfg.dtype)
@@ -236,7 +259,10 @@ class SptAudioGen(nn.Module):
         ends["bottleneck"] = feats
 
         weights, biases = LocalizationHead(cfg, name="localization")(feats)
-        ends["localization/weights"], ends["localization/biases"] = weights, biases
+        if return_ends:
+            reps = g.snd_dur // weights.shape[1]
+            ends["localization/weights"] = jnp.repeat(weights, reps, axis=1)
+            ends["localization/biases"] = jnp.repeat(biases, reps, axis=1)
 
         if cfg.separation == NO_SEPARATION:
             x_sep = mono[:, :, g.nosep_ss: g.nosep_ss + g.snd_dur]
@@ -249,10 +275,16 @@ class SptAudioGen(nn.Module):
                 feats, enc[AUDIO], re[:, :, lo:hi], im[:, :, lo:hi])
         ends["separation"] = x_sep
 
-        # decode: A_t = sum_tracks sum_in W_t * s_t + b_t (model.py:430)
-        s = x_sep.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, T, n_in, tracks)
-        ambi = jnp.einsum("btoik,btik->bto", weights.astype(jnp.float32), s) \
-            + biases[..., 0].astype(jnp.float32)
+        # decode: A_t = sum_tracks sum_in W_t * s_t + b_t (model.py:430),
+        # applied blockwise: each video-rate coefficient covers
+        # snd_dur/T consecutive audio samples.
+        s = x_sep.transpose(0, 3, 1, 2).astype(jnp.float32)  # (B, snd_dur, n_in, tr)
+        b, t_coef = weights.shape[:2]
+        reps = g.snd_dur // t_coef
+        s_blocks = s.reshape(b, t_coef, reps, g.num_in_channels, -1)
+        ambi = jnp.einsum("btoik,btrik->btro", weights.astype(jnp.float32), s_blocks)
+        ambi = ambi + biases[..., 0].astype(jnp.float32)[:, :, None]
+        ambi = ambi.reshape(b, g.snd_dur, g.num_out_channels)
         ends["decoder/ambix"] = ambi
         return (ambi, ends) if return_ends else ambi
 

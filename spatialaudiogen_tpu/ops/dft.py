@@ -59,7 +59,8 @@ def frame_signal_range(x, wind_size: int, n_overlap: int, t0: int, n_frames: int
 
 
 def stft_real(x, wind_size: int, n_overlap: int, dtype=None, precision="highest",
-              frame_start: int | None = None, n_frames: int | None = None):
+              frame_start: int | None = None, n_frames: int | None = None,
+              half: bool = False):
     """Real-arithmetic STFT: (..., N) -> (Re, Im) each (..., n_frames, wind).
 
     precision: jax matmul precision for the DFT matmuls. 'highest' is
@@ -67,6 +68,8 @@ def stft_real(x, wind_size: int, n_overlap: int, dtype=None, precision="highest"
     ~2ms for a batch-8 full pipeline); 'default' uses single-pass bf16
     (~8e-2 relative error on small bins) for throughput-bound training.
     frame_start/n_frames restrict computation to a frame range.
+    half=True computes only the wind/2+1 non-redundant bins of the real
+    input (the rest are conjugate mirrors) — half the analysis matmul.
     """
     import jax.numpy as jnp
 
@@ -77,6 +80,8 @@ def stft_real(x, wind_size: int, n_overlap: int, dtype=None, precision="highest"
     win = jnp.asarray(hann_window(wind_size), dtype=frames.dtype)
     frames = frames * win
     c, s = _basis(wind_size)
+    if half:
+        c, s = c[:, : wind_size // 2 + 1], s[:, : wind_size // 2 + 1]
     c = jnp.asarray(c)
     sn = jnp.asarray(s)
     if dtype is not None:
@@ -84,6 +89,13 @@ def stft_real(x, wind_size: int, n_overlap: int, dtype=None, precision="highest"
     re = jnp.matmul(frames, c, precision=precision, preferred_element_type=jnp.float32)
     im = jnp.matmul(frames, sn, precision=precision, preferred_element_type=jnp.float32)
     return re, im
+
+
+def mirror_hermitian_magnitude(mag_h):
+    """(..., n/2+1) magnitudes of a real signal -> full (..., n) via symmetry."""
+    import jax.numpy as jnp
+
+    return jnp.concatenate([mag_h, mag_h[..., -2:0:-1]], axis=-1)
 
 
 def stft_magnitude(x, wind_size: int, n_overlap: int, dtype=None, precision="highest"):
@@ -175,3 +187,49 @@ def istft_from_masked(re, im, mask, n_overlap: int, precision="highest"):
     a leading track axis).
     """
     return istft_real(re * mask, im * mask, n_overlap, precision=precision)
+
+
+@functools.lru_cache(maxsize=8)
+def _half_basis(n: int):
+    """Positive-angle bases over the non-redundant bins k = 0..n/2."""
+    k = np.arange(n // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(k, np.arange(n)) / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def fold_hermitian_mask(mask):
+    """Fold a real per-bin mask over Hermitian symmetry: (..., n) -> (..., n/2+1).
+
+    For a real analysis signal, X[n-k] = conj(X[k]), and a real mask M gives
+    real(ifft(M*X))_t = (1/n) sum_k M'_k (ReX_k cos(2pi k t/n)
+                                          - ImX_k sin(2pi k t/n))
+    with M'_0 = M_0, M'_{n/2} = M_{n/2}, M'_k = M_k + M_{n-k} otherwise —
+    so the synthesis only ever sees the folded mask on n/2+1 bins. Exact.
+    """
+    import jax.numpy as jnp
+
+    n = mask.shape[-1]
+    h = n // 2
+    mid = mask[..., 1:h] + mask[..., :h:-1]
+    return jnp.concatenate([mask[..., :1], mid, mask[..., h:h + 1]], axis=-1)
+
+
+def istft_from_masked_hermitian(re_h, im_h, mask, n_overlap: int,
+                                n_freqs: int, precision="highest"):
+    """Masked comb ISTFT using only the n/2+1 non-redundant bins.
+
+    re_h/im_h: (..., T, n/2+1) spectra of a REAL analysis signal (the first
+    n/2+1 columns of stft_real's output); mask: real (..., T, n) full-bin
+    mask (e.g. the learned separation mask). Numerically identical to
+    istft_from_masked on the full spectrum, at half the synthesis matmul
+    cost — the dominant FLOPs of the separation head.
+    """
+    import jax.numpy as jnp
+
+    m = fold_hermitian_mask(mask)
+    c2, s2 = _half_basis(n_freqs)
+    x = (jnp.matmul(re_h * m, jnp.asarray(c2), precision=precision,
+                    preferred_element_type=jnp.float32)
+         - jnp.matmul(im_h * m, jnp.asarray(s2), precision=precision,
+                      preferred_element_type=jnp.float32)) / float(n_freqs)
+    return _overlap_add(x, n_overlap)

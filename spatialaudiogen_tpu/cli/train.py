@@ -39,7 +39,7 @@ def parse_arguments(argv=None):
     parser.add_argument("--freq_mask_units", nargs="*", type=int, default=[256])
     parser.add_argument("--loc_units", nargs="+", type=int, default=[512, 512])
     # framework extensions
-    parser.add_argument("--n_workers", type=int, default=4)
+    parser.add_argument("--n_workers", type=int, default=8)
     parser.add_argument("--log_every", type=int, default=20)
     parser.add_argument("--ckpt_every", type=int, default=5000)
     parser.add_argument("--seed", type=int, default=0)

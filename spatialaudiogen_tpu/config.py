@@ -41,7 +41,7 @@ class TrainConfig:
     loc_units: tuple = (512, 512)
     resume: bool = False
     # framework extensions (not in the reference CLI)
-    n_workers: int = 4
+    n_workers: int = 8
     log_every: int = 20
     ckpt_every: int = 5000
     seed: int = 0

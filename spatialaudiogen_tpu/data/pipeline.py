@@ -143,9 +143,15 @@ class Feeder:
                 shuffle=not self.for_eval, seed=self.seed * 1000 + worker_id)
             n_sampling = np.inf if self.for_eval else self.NUM_SAMPLING_TRAIN
             consecutive_empty = 0
+            sub_readers: dict = {}  # yid -> shared decode-cached sub-readers
             for yid in provider.loop_samples():
                 if self._stop.is_set():
                     return
+                if yid not in sub_readers:
+                    if len(sub_readers) >= 4:
+                        sub_readers.clear()
+                    sub_readers[yid] = {}
+                shared = sub_readers[yid]
                 reader = SampleReader(
                     os.path.join(self.sample_dir, yid),
                     ambi_order=self.ambi_order,
@@ -163,7 +169,10 @@ class Feeder:
                     skip_rate=self.EVAL_SKIP_RATE if self.for_eval else None,
                     worker_id=worker_id if self.for_eval else 0,
                     num_workers=self.n_workers if self.for_eval else 1,
-                    rng=rng)
+                    rng=rng, **shared)
+                shared["audio_reader"] = reader.audio_reader
+                shared["video_reader"] = reader.video_reader
+                shared["flow_reader"] = reader.flow_reader
                 if not reader.chunks_t:
                     # every chunk of this video was filtered (e.g. all-silent
                     # under skip_silence_thr); in train mode a full dataset

@@ -49,10 +49,10 @@ class AudioChunkReader:
 
     def _load_second(self, i: int) -> np.ndarray:
         if i not in self._cache:
-            if len(self._cache) > 8:
+            if len(self._cache) > 16:
                 self._cache.clear()
             fn = os.path.join(self.audio_folder, f"{i:06d}.wav")
-            self._cache[i] = load_wav(fn, self.rate)[0]
+            self._cache[i] = load_wav(fn, self.rate, dtype=np.float32)[0]
         return self._cache[i]
 
     def get(self, start_time: float, size: int, rotation: float | None = None) -> np.ndarray:
@@ -65,7 +65,7 @@ class AudioChunkReader:
         pad_after = max(start_frame + size - pad_before - self.num_frames, 0)
         n_read = size - pad_before - pad_after
 
-        out = np.zeros((size, self.num_channels), dtype=np.float64)
+        out = np.zeros((size, self.num_channels), dtype=np.float32)
         if n_read > 0:
             first = start_frame // int(self.rate)
             last = (start_frame + n_read - 1) // int(self.rate)
@@ -78,7 +78,7 @@ class AudioChunkReader:
         if rotation is not None:
             assert -np.pi <= rotation < np.pi
             assert self.num_channels == 4, "rotation implemented for FOA"
-            out = rotate_foa(out, rotation)
+            out = rotate_foa(out, rotation).astype(np.float32)
         return out
 
 
@@ -174,7 +174,10 @@ class SampleReader:
                  random_rotations: bool = True,
                  num_workers: int = 1,
                  worker_id: int = 0,
-                 rng: np.random.RandomState | None = None):
+                 rng: np.random.RandomState | None = None,
+                 audio_reader: AudioChunkReader | None = None,
+                 video_reader: VideoFrameReader | None = None,
+                 flow_reader: FlowFrameReader | None = None):
         a2v = float(audio_rate) / video_rate
         snd_dur = duration * audio_rate
         vid_dur = duration * video_rate
@@ -188,14 +191,16 @@ class SampleReader:
         self.folder = folder
         self.rng = rng if rng is not None else np.random.RandomState()
 
-        self.audio_reader = AudioChunkReader(os.path.join(folder, "ambix"),
-                                             audio_rate, ambi_order)
-        self.video_reader = None
-        self.flow_reader = None
-        if return_video:
+        # sub-readers may be shared across visits (their decode caches stay
+        # warm; readers are stateless w.r.t. chunk iteration)
+        self.audio_reader = audio_reader if audio_reader is not None else \
+            AudioChunkReader(os.path.join(folder, "ambix"), audio_rate, ambi_order)
+        self.video_reader = video_reader
+        self.flow_reader = flow_reader
+        if return_video and self.video_reader is None:
             self.video_reader = VideoFrameReader(os.path.join(folder, "video"),
                                                  video_rate, img_prep)
-        if return_flow:
+        if return_flow and self.flow_reader is None:
             flow_dir = os.path.join(folder, "flow")
             self.flow_reader = FlowFrameReader(flow_dir,
                                                os.path.join(flow_dir, "flow_limits.npy"),

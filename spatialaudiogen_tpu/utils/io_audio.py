@@ -39,8 +39,12 @@ def _read_riff_chunks(f):
     return chunks
 
 
-def read_wav_raw(path: str):
-    """Decode a RIFF/WAVE file -> (float64 array (frames, channels), rate)."""
+def read_wav_raw(path: str, dtype=np.float32):
+    """Decode a RIFF/WAVE file -> (float array (frames, channels), rate).
+
+    dtype defaults to float32 — the feeder's consumption format; pass
+    float64 for full-precision DSP work.
+    """
     with open(path, "rb") as f:
         chunks = _read_riff_chunks(f)
         if b"fmt " not in chunks or b"data" not in chunks:
@@ -59,32 +63,32 @@ def read_wav_raw(path: str):
     raw = raw[: n_frames * block_align]
     if audio_format == 1:  # PCM
         if bits == 8:
-            data = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+            data = np.frombuffer(raw, dtype=np.uint8).astype(dtype)
             data = (data - 128.0) / 128.0
         elif bits == 16:
-            data = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+            data = np.frombuffer(raw, dtype="<i2").astype(dtype) / 32768.0
         elif bits == 24:
             b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
             val = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
                    | (b[:, 2].astype(np.int32) << 16))
             val = np.where(val >= 1 << 23, val - (1 << 24), val)
-            data = val.astype(np.float64) / float(1 << 23)
+            data = val.astype(dtype) / float(1 << 23)
         elif bits == 32:
-            data = np.frombuffer(raw, dtype="<i4").astype(np.float64) / float(1 << 31)
+            data = np.frombuffer(raw, dtype="<i4").astype(dtype) / float(1 << 31)
         else:
             raise ValueError(f"Unsupported PCM bit depth: {bits}")
     elif audio_format == 3:  # IEEE float
-        dtype = "<f4" if bits == 32 else "<f8"
-        data = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        src_dtype = "<f4" if bits == 32 else "<f8"
+        data = np.frombuffer(raw, dtype=src_dtype).astype(dtype)
     else:
         raise ValueError(f"Unsupported wav format code: {audio_format}")
 
     return data.reshape(n_frames, n_channels), rate
 
 
-def load_wav(path: str, rate: int | None = None):
+def load_wav(path: str, rate: int | None = None, dtype=np.float64):
     """Read a wav; optionally resample to `rate`. Returns (data, rate)."""
-    data, in_rate = read_wav_raw(path)
+    data, in_rate = read_wav_raw(path, dtype=dtype)
     if rate is not None and int(rate) != int(in_rate):
         from spatialaudiogen_tpu.utils.resample import resample
 

@@ -31,4 +31,6 @@ def foa_rotation_matrix(rotation: float) -> np.ndarray:
 def rotate_foa(chunk, rotation: float):
     """Rotate an ACN/SN3D FOA chunk (..., 4) by `rotation` radians azimuth."""
     rot = foa_rotation_matrix(rotation)
+    if hasattr(chunk, "dtype") and chunk.dtype != rot.dtype:
+        rot = rot.astype(chunk.dtype)  # keep f32 feeder chunks out of f64
     return chunk @ rot.T

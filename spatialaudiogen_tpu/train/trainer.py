@@ -88,22 +88,25 @@ class Trainer:
         step = self.init_step
         try:
             stream = device_prefetch(self.feeder.batches(), sharding=bshard)
+            t_prev = time.perf_counter()
             for dev_batch, _ in stream:
                 if step >= cfg.n_iters:
                     break
-                t0 = time.perf_counter()
                 state, metrics = self.step_fn(state, dev_batch)
                 if step % cfg.log_every == 0:
+                    # device_get syncs the queue, so the wall time per
+                    # iteration (data wait + step) is what tick records
                     metrics = {k: float(v) for k, v in
                                jax.device_get(metrics).items()}
                     metrics["lr"] = float(self.lr_schedule(step))
                     if math.isnan(metrics["total_loss"]):
                         raise FloatingPointError(
                             f"Training produced a NaN loss at step {step}.")
-                    self.logger.tick(time.perf_counter() - t0)
+                now = time.perf_counter()
+                self.logger.tick(now - t_prev)
+                t_prev = now
+                if step % cfg.log_every == 0:
                     self.logger.log(step, metrics, cfg.batch_size)
-                else:
-                    self.logger.tick(time.perf_counter() - t0)
                 step += 1
                 if cfg.ckpt_every and step % cfg.ckpt_every == 0:
                     jax.block_until_ready(state.params)

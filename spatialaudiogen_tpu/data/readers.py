@@ -21,7 +21,7 @@ import os
 
 import numpy as np
 
-from spatialaudiogen_tpu.ambisonics.rotation import rotate_foa
+from spatialaudiogen_tpu.ambisonics.rotation import rotate_ambisonics
 from spatialaudiogen_tpu.utils.io_audio import load_wav, wav_info
 
 
@@ -77,8 +77,7 @@ class AudioChunkReader:
 
         if rotation is not None:
             assert -np.pi <= rotation < np.pi
-            assert self.num_channels == 4, "rotation implemented for FOA"
-            out = rotate_foa(out, rotation).astype(np.float32)
+            out = rotate_ambisonics(out, rotation).astype(np.float32)
         return out
 
 

@@ -152,3 +152,31 @@ def test_rotation_matrix_orthonormal():
     for a in (-3.0, 0.0, 1.5):
         r = foa_rotation_matrix(a)
         np.testing.assert_allclose(r @ r.T, np.eye(4), atol=1e-12)
+
+
+def test_sh_rotation_z_order1_matches_foa():
+    from spatialaudiogen_tpu.ambisonics.rotation import sh_rotation_z
+
+    for a in (-2.0, 0.7):
+        np.testing.assert_allclose(sh_rotation_z(1, a), foa_rotation_matrix(a),
+                                   atol=1e-12)
+
+
+def test_sh_rotation_z_order3_matches_rotated_encoding():
+    """Rotating an order-3 signal == encoding from the rotated azimuth."""
+    from spatialaudiogen_tpu.ambisonics.position import PositionalSource
+    from spatialaudiogen_tpu.ambisonics.rotation import rotate_ambisonics, sh_rotation_z
+
+    rng = np.random.RandomState(7)
+    sig = rng.randn(32)
+    fmt = AmbiFormat(order=3, sample_rate=1000)
+    for angle in (-1.3, 0.4, 2.9):
+        pos = Position(0.3, -0.2, 1.0, "polar")
+        amb = AmbiEncoder(fmt).encode(PositionalSource(sig, pos, 1000)).data
+        rotated = rotate_ambisonics(amb, angle)
+        pos2 = Position(pos.phi + angle, pos.nu, 1.0, "polar")
+        expected = AmbiEncoder(fmt).encode(PositionalSource(sig, pos2, 1000)).data
+        np.testing.assert_allclose(rotated, expected, atol=1e-9)
+        # orthonormal
+        r = sh_rotation_z(3, angle)
+        np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-12)

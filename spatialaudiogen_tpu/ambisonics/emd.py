@@ -11,51 +11,16 @@ when no C++ toolchain is available.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 
 import numpy as np
 
 from spatialaudiogen_tpu.ambisonics.maps import SphericalAmbisonicsVisualizer
 
-_REPO_ROOT = os.path.realpath(os.path.join(os.path.dirname(__file__), "..", ".."))
-_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libsagnative.so")
-_lib_lock = threading.Lock()
-_lib = None
-_lib_failed = False
-
-
 def _load_native():
-    """Build (if needed) and load the native EMD library; None on failure."""
-    global _lib, _lib_failed
-    with _lib_lock:
-        if _lib is not None or _lib_failed:
-            return _lib
-        try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True, timeout=120)
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.sag_emd_hat.restype = ctypes.c_double
-            lib.sag_emd_hat.argtypes = [
-                ctypes.c_int32, ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_double), ctypes.c_double,
-            ]
-            lib.sag_emd_hat_batch.restype = None
-            lib.sag_emd_hat_batch.argtypes = [
-                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-                ctypes.POINTER(ctypes.c_double), ctypes.c_double,
-                ctypes.POINTER(ctypes.c_double),
-            ]
-            _lib = lib
-        except Exception:
-            _lib_failed = True
-            _lib = None
-        return _lib
+    """Load the shared native library (see utils.native); None on failure."""
+    from spatialaudiogen_tpu.utils.native import load_native
+
+    return load_native()
 
 
 def _as_c(arr: np.ndarray):

@@ -33,9 +33,15 @@ def _load_jpg(path: str) -> np.ndarray:
 
 
 class AudioChunkReader:
-    """Reads arbitrary [start_time, start_time+size) windows from 1 s wavs."""
+    """Reads arbitrary [start_time, start_time+size) windows from 1 s wavs.
 
-    def __init__(self, audio_folder: str, rate: int | None = None, ambi_order: int = 1):
+    When the native library is available and no resampling is needed, window
+    assembly (decode + zero-pad + rotation) runs in C — ctypes releases the
+    GIL, so feeder worker threads scale with host cores.
+    """
+
+    def __init__(self, audio_folder: str, rate: int | None = None, ambi_order: int = 1,
+                 use_native: bool = True):
         self.audio_folder = audio_folder
         fns = sorted(fn for fn in os.listdir(audio_folder) if fn.endswith(".wav"))
         assert fns, f"no wav chunks in {audio_folder}"
@@ -43,9 +49,15 @@ class AudioChunkReader:
         n_frames, n_channels, native_rate = wav_info(os.path.join(audio_folder, fns[0]))
         self.rate = float(native_rate if rate is None else rate)
         self.num_channels = min(n_channels, (ambi_order + 1) ** 2)
+        self.ambi_order = ambi_order
         self.duration = self.num_files  # seconds (1 s per file)
         self.num_frames = int(self.duration * self.rate)
         self._cache: dict = {}
+        self._native = None
+        if use_native and int(self.rate) == int(native_rate):
+            from spatialaudiogen_tpu.utils.native import load_native
+
+            self._native = load_native()
 
     def _load_second(self, i: int) -> np.ndarray:
         if i not in self._cache:
@@ -59,6 +71,8 @@ class AudioChunkReader:
         # round-to-nearest, not truncation: float times like 1.4 - 0.5 land at
         # 43199.99999999999 samples; the reference truncates (feeder.py:66)
         # and drifts one sample early on such windows — we align exactly.
+        if self._native is not None:
+            return self._get_native(start_time, size, rotation)
         start_frame = int(round(start_time * self.rate))
         pad_before = max(-start_frame, 0)
         start_frame = max(start_frame, 0)
@@ -78,6 +92,31 @@ class AudioChunkReader:
         if rotation is not None:
             assert -np.pi <= rotation < np.pi
             out = rotate_ambisonics(out, rotation).astype(np.float32)
+        return out
+
+    def _get_native(self, start_time: float, size: int,
+                    rotation: float | None) -> np.ndarray:
+        import ctypes
+
+        from spatialaudiogen_tpu.ambisonics.rotation import sh_rotation_z
+
+        start_frame = int(round(start_time * self.rate))
+        out = np.empty((size, self.num_channels), np.float32)
+        rot_ptr = None
+        if rotation is not None:
+            assert -np.pi <= rotation < np.pi
+            rot_order = int(np.sqrt(self.num_channels)) - 1
+            assert (rot_order + 1) ** 2 == self.num_channels, \
+                "rotation needs a complete SH channel set"
+            rot = np.ascontiguousarray(
+                sh_rotation_z(rot_order, rotation), dtype=np.float32)
+            rot_ptr = rot.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        rc = self._native.sag_read_window(
+            self.audio_folder.encode(), self.num_files, int(self.rate),
+            start_frame, size, self.num_channels, rot_ptr,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise IOError(f"native window decode failed in {self.audio_folder}")
         return out
 
 

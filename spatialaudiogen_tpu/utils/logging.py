@@ -18,11 +18,16 @@ from datetime import datetime
 
 class MetricLogger:
     def __init__(self, model_dir: str, fname: str = "metrics.jsonl",
-                 window: int = 20):
+                 window: int = 20, tensorboard: bool = True):
         os.makedirs(model_dir, exist_ok=True)
         self.path = os.path.join(model_dir, fname)
         self._f = open(self.path, "a")
         self.durations: deque = deque(maxlen=window)
+        self._tb = None
+        if tensorboard:
+            from spatialaudiogen_tpu.utils.tensorboard import TBEventWriter
+
+            self._tb = TBEventWriter(model_dir)
 
     def tick(self, duration: float):
         self.durations.append(duration)
@@ -37,6 +42,10 @@ class MetricLogger:
         rec = {"step": step, "time": time.time(), "tag": tag, **values}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for name, val in values.items():
+                self._tb.add_scalar(name, val, step)
+            self._tb.flush()
         sps = self.samples_per_sec(batch_size)
         ts = datetime.now()
         header = f"{ts}: {tag} | step {step}"
@@ -49,3 +58,5 @@ class MetricLogger:
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -65,7 +65,9 @@ class Feeder:
                  for_eval: bool = False,
                  seed: int = 0,
                  layouts_fn: str = DEFAULT_LAYOUTS,
-                 skip_silence_thr: float | None = "auto"):
+                 skip_silence_thr: float | None = "auto",
+                 shard_id: int = 0,
+                 num_shards: int = 1):
         self.sample_dir, self.subset_fn = sample_dir, subset_fn
         self.ambi_order = ambi_order
         self.audio_rate, self.video_rate = audio_rate, video_rate
@@ -77,6 +79,11 @@ class Feeder:
         self.n_workers = n_workers
         self.for_eval = for_eval
         self.seed = seed
+        # multi-host data sharding: each process feeds a disjoint video
+        # subset (replaces the reference's thread_id split for hosts;
+        # SURVEY 2.5). Defaults to jax process topology when unset.
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         if skip_silence_thr == "auto":
             # reference default thresholds (feeder.py:310)
             skip_silence_thr = None if for_eval else (
@@ -99,7 +106,8 @@ class Feeder:
 
     # --- introspection (parity with the feeder's startup report) ---
     def count_chunks(self) -> int:
-        provider = FilenameProvider(self.sample_dir, self.subset_fn, num_epochs=1)
+        provider = FilenameProvider(self.sample_dir, self.subset_fn, num_epochs=1,
+                                    shard=(self.shard_id, self.num_shards))
         total = 0
         for yid in provider.loop_samples():
             reader = SampleReader(os.path.join(self.sample_dir, yid),
@@ -140,7 +148,8 @@ class Feeder:
             provider = FilenameProvider(
                 self.sample_dir, self.subset_fn,
                 num_epochs=1 if self.for_eval else np.inf,
-                shuffle=not self.for_eval, seed=self.seed * 1000 + worker_id)
+                shuffle=not self.for_eval, seed=self.seed * 1000 + worker_id,
+                shard=(self.shard_id, self.num_shards))
             n_sampling = np.inf if self.for_eval else self.NUM_SAMPLING_TRAIN
             consecutive_empty = 0
             sub_readers: dict = {}  # yid -> shared decode-cached sub-readers

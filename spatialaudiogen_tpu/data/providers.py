@@ -12,7 +12,8 @@ class FilenameProvider:
     subset list file, for a number of epochs, with reshuffling per epoch."""
 
     def __init__(self, directory: str, subset_fn: str | None = None,
-                 num_epochs: float = 1, shuffle: bool = False, seed: int | None = None):
+                 num_epochs: float = 1, shuffle: bool = False, seed: int | None = None,
+                 shard: tuple | None = None):
         self.directory = directory
         self.sample_ids = sorted(os.listdir(directory))
         assert len(self.sample_ids) > 0, "Dataset directory is empty."
@@ -21,6 +22,12 @@ class FilenameProvider:
             subset = set(open(subset_fn).read().splitlines())
             self.sample_ids = [y for y in self.sample_ids if y in subset]
             assert self.sample_ids, f"No dataset samples match subset {subset_fn}"
+        if shard is not None:
+            shard_id, num_shards = shard
+            if num_shards > 1:
+                self.sample_ids = self.sample_ids[shard_id::num_shards]
+                assert self.sample_ids, \
+                    f"shard {shard_id}/{num_shards} has no videos"
         self.num_epochs, self.epoch = num_epochs, 0
         self.num_samples = len(self.sample_ids)
         self.shuffle = shuffle

@@ -84,6 +84,10 @@ class SptAudioGenConfig:
     # faster than the XLA formulation on v5e. 'auto' uses it on TPU backends
     # and the XLA path elsewhere; 'on'/'off' force it.
     use_pallas: str = "auto"
+    # Rematerialize the encoder/separation activations in the backward pass
+    # (jax.checkpoint via nn.remat) — trades ~1/3 extra forward FLOPs for the
+    # U-Net's large intermediates, enabling bigger per-chip batches.
+    remat: bool = False
     dtype: Any = None  # compute dtype for conv/fc stacks (None = float32)
     # Reference quirk: BN inside the visual encoders always uses batch stats
     # (is_training=finetune=True even at eval, model.py:388,396).
@@ -247,6 +251,10 @@ class SptAudioGen(nn.Module):
                            frame_start=g.enc_ss, n_frames=g.n_enc_frames,
                            half=cfg.hermitian_dft)
 
+        audio_encoder_cls = nn.remat(AudioEncoder) if cfg.remat else AudioEncoder
+        # static_argnums index includes the module itself (arg 0): `train` is 2
+        resnet_cls = nn.remat(ResNet18, static_argnums=(2,)) if cfg.remat else ResNet18
+
         enc = {}
         if AUDIO in cfg.encoders:
             mag = jnp.sqrt(re * re + im * im)                # (B, n_in, T_enc, F')
@@ -255,7 +263,7 @@ class SptAudioGen(nn.Module):
             mag = mag.transpose(0, 2, 3, 1)                  # NHWC: (B, T_enc, F, n_in)
             if cfg.dtype is not None:
                 mag = mag.astype(cfg.dtype)
-            acts = AudioEncoder(cfg, name="audio_encoder")(mag)
+            acts = audio_encoder_cls(cfg, name="audio_encoder")(mag)
             enc[AUDIO] = acts
             ends["audio_encoder"] = acts[-1]
 
@@ -267,8 +275,8 @@ class SptAudioGen(nn.Module):
                 x = frames.reshape((b * t,) + frames.shape[2:])
                 if cfg.dtype is not None:
                     x = x.astype(cfg.dtype)
-                y, _ = ResNet18(truncate_at="conv5_2", dtype=cfg.dtype,
-                                name=f"{name}_encoder")(x, train=bn_train)
+                y, _ = resnet_cls(truncate_at="conv5_2", dtype=cfg.dtype,
+                                  name=f"{name}_encoder")(x, bn_train)
                 enc[name] = y
                 ends[f"{name}_encoder"] = y
 
@@ -290,7 +298,8 @@ class SptAudioGen(nn.Module):
             # the mask frames are a sub-range of the encoder frame range
             lo = g.mask_ss - g.enc_ss
             hi = g.mask_tt - g.enc_ss
-            x_sep = SeparationUNet(cfg, name="separation")(
+            sep_cls = nn.remat(SeparationUNet) if cfg.remat else SeparationUNet
+            x_sep = sep_cls(cfg, name="separation")(
                 feats, enc[AUDIO], re[:, :, lo:hi], im[:, :, lo:hi])
         ends["separation"] = x_sep
 

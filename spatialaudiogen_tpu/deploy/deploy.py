@@ -84,41 +84,36 @@ class MonoToAmbix:
             reader.chunks_t = [t - dt for t in reader.chunks_t]
         return reader
 
-    def _predict_span(self, input_folder: str, start: float, duration: float | None):
-        """One sliding pass -> (mono (T,1), pred (T, n_out))."""
+    def _window_batches(self, reader):
+        """Host-side batch assembly (runs in a background thread so window
+        reads overlap device compute)."""
         g = self.geometry
-        n_in = g.num_in_channels
-        reader = self._reader(input_folder, start, duration)
-        monos, preds = [], []
         batch_ambix, batch_video, batch_flow = [], [], []
 
-        def flush():
-            if not batch_ambix:
-                return
+        def assemble():
             n = len(batch_ambix)
             ambix = np.stack(batch_ambix, 0).astype(np.float32)
             pad = self.batch_size - n
+
+            def padded(stack):
+                arr = np.stack(stack, 0).astype(np.float32)
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.zeros((pad,) + arr.shape[1:], np.float32)], 0)
+                return arr
+
             if pad:
                 ambix = np.concatenate(
                     [ambix, np.zeros((pad,) + ambix.shape[1:], np.float32)], 0)
-            video = flow = None
-            if batch_video:
-                video = np.stack(batch_video, 0).astype(np.float32)
-                if pad:
-                    video = np.concatenate(
-                        [video, np.zeros((pad,) + video.shape[1:], np.float32)], 0)
-            if batch_flow:
-                flow = np.stack(batch_flow, 0).astype(np.float32)
-                if pad:
-                    flow = np.concatenate(
-                        [flow, np.zeros((pad,) + flow.shape[1:], np.float32)], 0)
-            out = np.asarray(self.fwd(self.state, ambix[:, :, :n_in], video, flow))
-            preds.append(out[:n].reshape(n * g.snd_dur, -1))
-            monos.append(ambix[:n, g.nosep_ss: g.nosep_ss + g.snd_dur, :1]
-                         .reshape(n * g.snd_dur, 1))
+            video = padded(batch_video) if batch_video else None
+            flow = padded(batch_flow) if batch_flow else None
+            mono = ambix[:n, g.nosep_ss: g.nosep_ss + g.snd_dur, :1] \
+                .reshape(n * g.snd_dur, 1).copy()
+            out = (n, ambix, video, flow, mono)
             batch_ambix.clear()
             batch_video.clear()
             batch_flow.clear()
+            return out
 
         for chunk in reader.loop_chunks():
             batch_ambix.append(chunk["ambix"])
@@ -127,8 +122,33 @@ class MonoToAmbix:
             if "flow" in chunk:
                 batch_flow.append(chunk["flow"])
             if len(batch_ambix) == self.batch_size:
-                flush()
-        flush()
+                yield assemble()
+        if batch_ambix:
+            yield assemble()
+
+    def _predict_span(self, input_folder: str, start: float, duration: float | None):
+        """One sliding pass -> (mono (T,1), pred (T, n_out))."""
+        from spatialaudiogen_tpu.data.generic import BackgroundGenerator
+
+        g = self.geometry
+        n_in = g.num_in_channels
+        reader = self._reader(input_folder, start, duration)
+        monos, preds = [], []
+        pending = []  # (n, device_out) — fetch lags dispatch by one batch
+
+        def drain(entry):
+            n, out = entry
+            preds.append(np.asarray(out)[:n].reshape(n * g.snd_dur, -1))
+
+        for n, ambix, video, flow, mono in BackgroundGenerator(
+                self._window_batches(reader), depth=2):
+            monos.append(mono)
+            out = self.fwd(self.state, ambix[:, :, :n_in], video, flow)
+            pending.append((n, out))
+            if len(pending) > 1:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
         if not preds:
             raise ValueError(f"no windows to deploy in {input_folder}")
         return np.concatenate(monos, 0), np.concatenate(preds, 0)

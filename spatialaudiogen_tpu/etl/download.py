@@ -16,6 +16,47 @@ import os
 from spatialaudiogen_tpu.utils.cmd import run_system_cmd
 
 
+def dir_to_samples(path: str):
+    """Map downloaded media files to youtube ids (scraping/utils.py:9-18)."""
+    exts = ("webm", "mp4", "mkv", "m4a")
+    files = [fn for fn in os.listdir(path)
+             if fn != "downloaded.txt" and fn.split(".")[-1] in exts]
+    samples: dict = {}
+    for fn in files:
+        samples.setdefault(fn.split(".")[0], []).append(os.path.join(path, fn))
+    return samples, list(samples.keys())
+
+
+def non_zero_channels(input_fn: str, probe_seconds: int = 300) -> list:
+    """Which audio channels carry signal (scraping/utils.py:21-30); needs ffmpeg."""
+    import tempfile
+
+    import numpy as np
+
+    from spatialaudiogen_tpu.utils.io_audio import load_wav
+
+    tmp = tempfile.mktemp(suffix=".wav")
+    run_system_cmd(["ffmpeg", "-y", "-t", str(probe_seconds), "-i", input_fn,
+                    "-map", "a", "-ar", "10000", tmp])
+    data, _ = load_wav(tmp)
+    os.remove(tmp)
+    return list((data != 0).sum(axis=0) > 0)
+
+
+def extract_clip_cmd(input_fn: str, output_fn: str, rate: int = 10,
+                     seek: float | None = None, duration: float | None = None) -> list:
+    """Low-res preview clip command (scraping/utils.py:33-51)."""
+    cmd = ["ffmpeg", "-y"]
+    if seek is not None:
+        cmd += ["-ss", f"{seek:.10f}"]
+    cmd += ["-i", input_fn]
+    if duration is not None:
+        cmd += ["-t", f"{duration:.10f}"]
+    cmd += ["-an", "-vf", "scale=720:360", "-r", str(rate),
+            "-vcodec", "libx264", "-crf", "5", output_fn]
+    return cmd
+
+
 def load_format_table(fn: str) -> dict:
     table = {}
     for line in open(fn):

@@ -49,6 +49,7 @@ class TrainConfig:
     n_data: int | None = None     # mesh data-parallel size (None = all devices)
     n_model: int = 1              # mesh tensor-parallel size
     weight_decay: float = 5e-4
+    clip_norm: float | None = None
     dft_precision: str = "highest"
 
     def model_config(self) -> SptAudioGenConfig:

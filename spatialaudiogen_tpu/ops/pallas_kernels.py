@@ -7,12 +7,16 @@ re/im intermediates (hundreds of MB per step at batch 32 x 32 tracks) never
 round-trip through HBM. Grid is (batch*, tracks); the DFT bases use constant
 index maps so the pipeline keeps them resident across grid steps.
 
-Numerics match ops.dft.istft_real within float32 matmul tolerance; a custom
-VJP routes gradients through the (already efficient) XLA formulation so the
-kernel is usable inside the training step.
+Numerics match ops.dft.istft_real within float32 matmul tolerance. The
+custom VJP is a second fused kernel with the same grid structure: it
+scatters the output cotangent back onto the comb streams, reuses the
+(symmetric) cos/sin bases for the transposed matmuls, and accumulates the
+d(re)/d(im) partial sums across track tiles by revisiting the output block,
+so training's hot op stays in VMEM end to end. `_bwd_xla` keeps the plain
+XLA formulation for verification.
 
-Falls back to the XLA path automatically off-TPU (pallas interpret mode is
-used in tests).
+Pallas interpret mode is used in CPU tests; the model falls back to the XLA
+formulation automatically off-TPU (models.sptaudiogen._pallas_enabled).
 """
 
 from __future__ import annotations
@@ -22,6 +26,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from spatialaudiogen_tpu.ops.dft import _basis, istft_real
 
@@ -62,9 +68,6 @@ def masked_istft_pallas(re, im, mask, n_overlap: int = 4, interpret: bool = Fals
 
 
 def _forward(re, im, mask, n_overlap, interpret):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     b, n_in, t, f = re.shape
     tracks = mask.shape[2]
     hop = f // n_overlap
@@ -105,12 +108,117 @@ def _forward(re, im, mask, n_overlap, interpret):
     return out.reshape(b, n_in, tracks_p, out_len)[:, :, :tracks]
 
 
+def _bwd_kernel(g_ref, re_ref, im_ref, mask_ref, c_ref, s_ref,
+                gmask_ref, gre_ref, gim_ref, *, n_overlap: int):
+    """Fused backward for one (batch, track-tile) block.
+
+    Scatters the output cotangent back onto the comb streams, runs the two
+    transposed iDFT matmuls (the cos/sin bases are symmetric, so C^T = C),
+    and emits d(mask) for this tile plus partial d(re)/d(im) accumulated
+    across track tiles (the j grid axis revisits the same output block).
+    """
+    tr, n_frames, n_freqs = mask_ref.shape[1:]
+    hop = n_freqs // n_overlap
+    n_winds = n_frames // n_overlap
+    out_len = n_winds * n_freqs - (n_overlap - 1) * hop
+    scale = 1.0 / (n_overlap * n_freqs)
+
+    g = g_ref[0]                                        # (TR, out_len)
+    streams = []
+    for k in range(n_overlap):
+        front = (n_overlap - 1 - k) * hop
+        back = n_winds * n_freqs - front - out_len
+        gk = jnp.pad(g, ((0, 0), (front, back)))
+        streams.append(gk.reshape(tr, n_winds, 1, n_freqs))
+    gx = jnp.concatenate(streams, axis=2)               # (TR, nW, OV, F)
+    gx = (gx * scale).reshape(tr * n_frames, n_freqs)
+
+    g_rm = jnp.dot(gx, c_ref[...], preferred_element_type=jnp.float32)
+    g_imm = jnp.dot(gx, s_ref[...], preferred_element_type=jnp.float32)
+    g_rm = g_rm.reshape(tr, n_frames, n_freqs)
+    g_imm = g_imm.reshape(tr, n_frames, n_freqs)
+
+    re = re_ref[0][None]
+    im = im_ref[0][None]
+    m = mask_ref[0]
+    gmask_ref[0] = g_rm * re + g_imm * im
+    part_re = jnp.sum(g_rm * m, axis=0)
+    part_im = jnp.sum(g_imm * m, axis=0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        gre_ref[0] = part_re
+        gim_ref[0] = part_im
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        gre_ref[0] = gre_ref[0] + part_re
+        gim_ref[0] = gim_ref[0] + part_im
+
+
+def _backward_pallas(re, im, mask, g, n_overlap, interpret):
+    b, n_in, t, f = re.shape
+    tracks = mask.shape[2]
+    tile = min(TRACK_TILE, tracks)
+    pad = (-tracks) % tile
+    if pad:
+        mask = jnp.concatenate(
+            [mask, jnp.zeros(mask.shape[:2] + (pad,) + mask.shape[3:], mask.dtype)],
+            axis=2)
+        g = jnp.concatenate(
+            [g, jnp.zeros(g.shape[:2] + (pad,) + g.shape[3:], g.dtype)], axis=2)
+    tracks_p = tracks + pad
+    out_len = g.shape[-1]
+
+    re2 = re.reshape(b * n_in, t, f)
+    im2 = im.reshape(b * n_in, t, f)
+    mask2 = mask.reshape(b * n_in, tracks_p, t, f)
+    g2 = g.reshape(b * n_in, tracks_p, out_len)
+    c, s = _basis(f)
+
+    gmask, gre, gim = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_overlap=n_overlap),
+        grid=(b * n_in, tracks_p // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, out_len), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, t, f), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, t, f), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n_in, tracks_p, t, f), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_in, t, f), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_in, t, f), jnp.float32),
+        ),
+        interpret=interpret,
+    )(g2, re2, im2, mask2, jnp.asarray(c), jnp.asarray(s))
+    g_mask = gmask.reshape(b, n_in, tracks_p, t, f)[:, :, :tracks]
+    return gre.reshape(b, n_in, t, f), gim.reshape(b, n_in, t, f), g_mask
+
+
 def _fwd(re, im, mask, n_overlap, interpret):
     return _forward(re, im, mask, n_overlap, interpret), (re, im, mask)
 
 
 def _bwd(n_overlap, interpret, residuals, g):
-    """Backward via the XLA formulation (linear in re/im, bilinear in mask)."""
+    """Backward: fused Pallas path (same grid structure as the forward)."""
+    re, im, mask = residuals
+    g_re, g_im, g_mask = _backward_pallas(re, im, mask, g, n_overlap, interpret)
+    return g_re, g_im, g_mask
+
+
+def _bwd_xla(n_overlap, residuals, g):
+    """Reference backward via the XLA formulation (kept for verification)."""
     re, im, mask = residuals
     f = re.shape[-1]
     c, s = _basis(f)

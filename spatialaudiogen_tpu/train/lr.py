@@ -21,8 +21,12 @@ def staircase_decay(base_lr: float = 1e-4, decay_rate: float = 0.5,
 
 
 def make_optimizer(base_lr: float = 1e-4, decay_rate: float = 0.5,
-                   decay_steps: int = 250000):
+                   decay_steps: int = 250000, clip_norm: float | None = None):
     """Adam with the staircase schedule (TF AdamOptimizer defaults:
-    b1=0.9, b2=0.999, eps=1e-8)."""
-    return optax.adam(staircase_decay(base_lr, decay_rate, decay_steps),
-                      b1=0.9, b2=0.999, eps=1e-8)
+    b1=0.9, b2=0.999, eps=1e-8); optional global-norm gradient clipping
+    (the reference harness's clipping knob, dnn.py:487-491)."""
+    tx = optax.adam(staircase_decay(base_lr, decay_rate, decay_steps),
+                    b1=0.9, b2=0.999, eps=1e-8)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx

@@ -40,7 +40,7 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data, cfg.n_model)
         self.model = SptAudioGen(cfg.model_config())
-        self.tx = make_optimizer(cfg.lr, cfg.lr_decay, cfg.lr_iters)
+        self.tx = make_optimizer(cfg.lr, cfg.lr_decay, cfg.lr_iters, cfg.clip_norm)
         self.lr_schedule = staircase_decay(cfg.lr, cfg.lr_decay, cfg.lr_iters)
 
         self.feeder = Feeder(
@@ -50,7 +50,9 @@ class Trainer:
             return_video="video" in cfg.encoders,
             return_flow="flow" in cfg.encoders,
             batch_size=cfg.batch_size, n_workers=cfg.n_workers,
-            for_eval=False, seed=cfg.seed)
+            for_eval=False, seed=cfg.seed,
+            # multi-host: each process feeds a disjoint video shard
+            shard_id=jax.process_index(), num_shards=jax.process_count())
 
         example = self._example_batch()
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),

@@ -51,7 +51,7 @@ class Evaluator:
     def __init__(self, model_dir: str, subset_fn: str | None = None,
                  batch_size: int = EVAL_BATCH, db_dir: str | None = None,
                  n_workers: int = 4, emd_ang_res: float = 30,
-                 scales: dict | None = None):
+                 mesh=None):
         self.cfg = TrainConfig.load(model_dir)
         self.cfg.model_dir = model_dir
         if db_dir is not None:
@@ -60,7 +60,17 @@ class Evaluator:
         self.batch_size = batch_size
         self.emd_ang_res = emd_ang_res
         self.model = SptAudioGen(self.cfg.model_config())
+        # multi-chip eval: shard the (padded, fixed-size) batch over the
+        # mesh's data axis; the restored state is replicated.
+        self.mesh = mesh
         self.eval_fn = jax.jit(make_eval_step(self.model))
+        self._batch_sharding = None
+        if mesh is not None:
+            from spatialaudiogen_tpu.parallel.mesh import batch_sharding
+
+            assert batch_size % mesh.shape["data"] == 0, \
+                "eval batch must divide the data axis"
+            self._batch_sharding = batch_sharding(mesh)
 
         tx = make_optimizer()
         self.feeder = Feeder(
@@ -76,6 +86,12 @@ class Evaluator:
         self.state, step = restore_checkpoint(model_dir, state)
         assert step is not None, f"no checkpoint found in {model_dir}"
         self.restored_step = step
+        if mesh is not None:
+            from spatialaudiogen_tpu.parallel.mesh import replicated
+
+            self.state = jax.device_put(
+                self.state, jax.tree_util.tree_map(
+                    lambda _: replicated(mesh), self.state))
 
     def _example_batch(self):
         g = self.cfg.model_config().geometry
@@ -147,6 +163,8 @@ class Evaluator:
                         break
                     padded, n_valid = self._pad(batch)
                     arrays = {k: v for k, v in padded.items() if k != "id"}
+                    if self._batch_sharding is not None:
+                        arrays = jax.device_put(arrays, self._batch_sharding)
                     pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
                     pred, mono, target = map(np.asarray, (pred, mono, target))
                     ps = {k: np.asarray(v) for k, v in per_sample.items()}

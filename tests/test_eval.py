@@ -63,6 +63,24 @@ def trained_model(tmp_path_factory):
     return root, model_dir
 
 
+def test_evaluator_sharded_matches_single_device(trained_model):
+    import jax
+
+    from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+    root, model_dir = trained_model
+    single = Evaluator(model_dir, batch_size=4, db_dir=root, emd_ang_res=36)
+    s_sum, s_res = single.run(host_threads=2, print_every=0)
+    mesh = make_mesh(n_data=4, n_model=1)
+    sharded = Evaluator(model_dir, batch_size=4, db_dir=root, emd_ang_res=36,
+                        mesh=mesh)
+    m_sum, m_res = sharded.run(host_threads=2, print_every=0,
+                               output_fn=os.path.join(model_dir, "eval-sharded.txt"))
+    assert len(s_res) == len(m_res)
+    for key in ("stft/avg", "mse/avg", "emd/dir"):
+        assert m_sum[key] == pytest.approx(s_sum[key], rel=1e-3, abs=1e-5), key
+
+
 def test_evaluator_end_to_end(trained_model):
     root, model_dir = trained_model
     evaluator = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36)

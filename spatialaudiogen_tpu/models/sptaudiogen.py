@@ -21,7 +21,7 @@ Tensor trace at defaults (audio+video, unet_mask, order 1, batch B):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

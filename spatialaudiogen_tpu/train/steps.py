@@ -18,7 +18,6 @@ gradient reductions; the same step runs on 1 chip or a full mesh.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -102,6 +102,36 @@ def test_download_cmds(tmp_path):
     assert any("-f bestaudio" in c and "xyz789" in c for c in joined)
 
 
+def test_download_pinned_formats_full_db(tmp_path):
+    """Every command emitted over the real db list carries a pinned -f id
+    from the vendored meta/formats tables (scraping/download.py:58-67)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db = os.path.join(repo, "meta", "spatialaudiogen_db.lst")
+    cmds = download_all(db, str(tmp_path), dry_run=True)
+    assert cmds and len(cmds) % 2 == 0
+    n_videos = len(cmds) // 2
+    # the tables cover nearly the whole 1189-video db (reference skips the rest)
+    assert n_videos >= 1100, n_videos
+    for cmd in cmds:
+        fmt = cmd[cmd.index("-f") + 1]
+        assert fmt not in ("bestaudio", "bestvideo"), cmd
+        assert fmt.split("+")[0].split("-")[0].isdigit(), cmd
+    # audio/video use distinct resume archives + reference filename templates
+    joined = [" ".join(c) for c in cmds]
+    assert any("downloaded_audio.txt" in c and ".audio.f%(format_id)s." in c
+               for c in joined)
+    assert any("downloaded_video.txt" in c and ".video." in c for c in joined)
+
+    # low_res swaps the video table
+    lo = download_all(db, str(tmp_path), low_res=True, dry_run=True)
+    hi_video = {c[-1]: c[c.index("-f") + 1] for c in cmds if ".video." in " ".join(c)}
+    lo_video = {c[-1]: c[c.index("-f") + 1] for c in lo if ".video." in " ".join(c)}
+    common = set(hi_video) & set(lo_video)
+    assert common and any(hi_video[u] != lo_video[u] for u in common)
+
+
 def test_flow_compress_decompress_roundtrip(tmp_path):
     # smooth fields (real optical flow is smooth; jpg would destroy noise)
     y, x = np.mgrid[0:32, 0:64]

@@ -41,40 +41,49 @@ def test_every_param_has_unique_tf_name():
     assert any(k.startswith("separation/deconv1") for k in index)
 
 
+# TF leaf names, inverse of convert._LEAF_MAP (for synthesizing TF var dicts)
+_INV_LEAF = {"kernel": "weights", "bias": "biases", "scale": "gamma",
+             "mean": "moving_mean", "var": "moving_variance"}
+
+
+def _tf_name(norm_key, path):
+    parts = norm_key.split("/")
+    leaf = path[-1]
+    if leaf == "bias" and parts[-2:][0] == "bn":
+        parts[-1] = "beta"
+    else:
+        parts[-1] = _INV_LEAF[leaf]
+    return "/".join(parts)
+
+
+def _get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _synth_tf_vars(variables, seed=0, perturb=0.01):
+    """A TF-style {name: array} dict mirroring the model's own params."""
+    index = flax_path_index(variables)
+    rng = np.random.RandomState(seed)
+    tf_vars = {}
+    for norm_key, (coll, path, shape) in index.items():
+        value = np.asarray(_get(variables[coll], path))
+        value = value + rng.randn(*value.shape).astype(value.dtype) * perturb
+        name = _tf_name(norm_key, path)
+        if "deconv" in name and name.endswith("weights"):
+            value = value.transpose(0, 1, 3, 2)  # TF deconv is (H, W, out, in)
+        tf_vars[name] = value
+    return tf_vars
+
+
 def test_restore_tf_var_dict_roundtrip():
     """Dump the model's own params under TF names, perturb, restore, compare."""
     _, _, variables = _model_variables()
     index = flax_path_index(variables)
-
-    # synthesize a TF-style var dict from the flax tree with TF leaf names
-    inv_leaf = {"kernel": "weights", "bias": "biases", "scale": "gamma",
-                "mean": "moving_mean", "var": "moving_variance"}
-
-    def tf_name(norm_key, path):
-        parts = norm_key.split("/")
-        leaf = path[-1]
-        if leaf == "bias" and parts[-2:][0] == "bn":
-            parts[-1] = "beta"
-        else:
-            parts[-1] = inv_leaf[leaf]
-        return "/".join(parts)
-
-    def get(tree, path):
-        node = tree
-        for p in path:
-            node = node[p]
-        return node
-
-    rng = np.random.RandomState(0)
-    tf_vars = {}
-    for norm_key, (coll, path, shape) in index.items():
-        value = np.asarray(get(variables[coll], path))
-        value = value + rng.randn(*value.shape).astype(value.dtype) * 0.01
-        name = tf_name(norm_key, path)
-        if "deconv" in name and name.endswith("weights"):
-            # TF deconv kernels are (H, W, out, in)
-            value = value.transpose(0, 1, 3, 2)
-        tf_vars[name] = value
+    tf_name, get = _tf_name, _get
+    tf_vars = _synth_tf_vars(variables)
 
     new_vars, unmatched = restore_tf_var_dict(tf_vars, variables)
     assert unmatched == {}, unmatched
@@ -89,3 +98,74 @@ def test_restore_tf_var_dict_roundtrip():
         if "deconv" in name and name.endswith("weights"):
             expected = expected.transpose(0, 1, 3, 2)
         np.testing.assert_allclose(new, expected.reshape(new.shape), atol=1e-6)
+
+
+def test_import_tf_bundle_end_to_end(tmp_path):
+    """A TF1 TensorBundle on disk imports to an orbax checkpoint, TF-free.
+
+    Covers the released-model ingestion path (reference README.md:70-78):
+    write the flagship model's variables as a real model.ckpt-N bundle
+    (with Adam slot noise that must be filtered), run
+    tools/import_tf_checkpoint.py on it, and check the restored checkpoint
+    carries the bundle's values.
+    """
+    import os
+    import sys
+
+    from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.utils.tf_bundle import save_tf_checkpoint
+
+    cfg, model, variables = _model_variables()
+    tf_vars = _synth_tf_vars(variables, seed=3)
+    n_model_vars = len(tf_vars)
+    # optimizer slots + step bookkeeping the importer must drop
+    some = list(tf_vars)[:3]
+    for name in some:
+        tf_vars[name + "/Adam"] = np.zeros_like(tf_vars[name])
+        tf_vars[name + "/Adam_1"] = np.zeros_like(tf_vars[name])
+    tf_vars["beta1_power"] = np.array(0.9, np.float32)
+    tf_vars["global_step"] = np.array(152000, np.int64)
+
+    ckpt_dir = tmp_path / "tf_model"
+    ckpt_dir.mkdir()
+    save_tf_checkpoint(str(ckpt_dir / "model.ckpt-152000"), tf_vars)
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    tc = TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
+                     separation="unet_mask", num_sep_tracks=4,
+                     frame_hw=(64, 128))
+    tc.save(model_dir)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import import_tf_checkpoint
+
+    import_tf_checkpoint.main([model_dir, str(ckpt_dir), "--step", "152000"])
+
+    import jax
+
+    from spatialaudiogen_tpu.train.checkpoint import restore_checkpoint
+    from spatialaudiogen_tpu.train.lr import make_optimizer
+    from spatialaudiogen_tpu.train.state import create_train_state
+
+    g = cfg.geometry
+    example = {"ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
+               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
+               "video": np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)}
+    target = create_train_state(model, make_optimizer(), jax.random.PRNGKey(1),
+                                example)
+    state, step = restore_checkpoint(model_dir, target)
+    assert step == 152000
+    index = flax_path_index({"params": state.params,
+                             "batch_stats": state.batch_stats})
+    matched = 0
+    for norm_key, (coll, path, _) in index.items():
+        got = np.asarray(_get({"params": state.params,
+                               "batch_stats": state.batch_stats}[coll], path))
+        expected = tf_vars[_tf_name(norm_key, path)]
+        if "deconv" in norm_key and path[-1] == "kernel":
+            expected = expected.transpose(0, 1, 3, 2)
+        np.testing.assert_allclose(got, expected.reshape(got.shape), atol=1e-6)
+        matched += 1
+    assert matched == n_model_vars  # 100% of model variables mapped

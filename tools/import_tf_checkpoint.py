@@ -1,10 +1,15 @@
-"""Import an exported TF1-variable npz into a framework checkpoint.
+"""Import a TF1 checkpoint (or exported npz) into a framework checkpoint.
 
-Counterpart of tools/export_tf_checkpoint.py: builds the model from the
-model_dir's train-params, maps the TF variable names onto the Flax tree
-(models.convert), and writes an orbax checkpoint that eval/deploy load.
+Builds the model from the model_dir's train-params, maps the TF variable
+names onto the Flax tree (models.convert), and writes an orbax checkpoint
+that eval/deploy load. Accepts either:
 
-    python tools/import_tf_checkpoint.py MODEL_DIR VARS_NPZ [--step 0]
+  * a released TF1 TensorBundle directly — a `model.ckpt-N` prefix, its
+    `.index` file, or a directory holding one (reference README.md:70-78) —
+    read TF-free by spatialaudiogen_tpu.utils.tf_bundle, or
+  * an npz from tools/export_tf_checkpoint.py (legacy two-step path).
+
+    python tools/import_tf_checkpoint.py MODEL_DIR CKPT_OR_NPZ [--step 0]
 """
 
 from __future__ import annotations
@@ -19,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("model_dir", help="Target model dir (with train-params)")
-    parser.add_argument("vars_npz", help="npz from export_tf_checkpoint.py")
+    parser.add_argument("checkpoint",
+                        help="TF1 model.ckpt-N prefix / .index / dir, or an "
+                             "npz from export_tf_checkpoint.py")
     parser.add_argument("--step", type=int, default=0)
     parser.add_argument("--allow_unmatched", action="store_true",
                         help="Do not fail when some TF variables stay unmatched.")
@@ -49,7 +56,17 @@ def main(argv=None):
         example["flow"] = np.zeros((1, g.vid_dur) + hw + (3,), np.float32)
     state = create_train_state(model, tx, jax.random.PRNGKey(0), example)
 
-    blobs = dict(np.load(args.vars_npz))
+    if args.checkpoint.endswith((".npz", ".npy")):
+        blobs = dict(np.load(args.checkpoint, allow_pickle=True))
+    else:
+        from spatialaudiogen_tpu.utils.tf_bundle import load_tf_checkpoint
+
+        blobs = load_tf_checkpoint(args.checkpoint)
+        # drop optimizer slots / bookkeeping the exporter also filters
+        blobs = {k: v for k, v in blobs.items()
+                 if not k.split("/")[-1].startswith(
+                     ("Adam", "beta1_power", "beta2_power"))
+                 and k not in ("step", "global_step")}
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     new_vars, unmatched = restore_tf_var_dict(blobs, variables)
     print(f"Matched {len(blobs) - len(unmatched)}/{len(blobs)} TF variables")

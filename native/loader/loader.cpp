@@ -117,46 +117,15 @@ long DecodeRange(const char* path, long frame0, long n_frames,
 
 extern "C" {
 
-// Assemble a window of `size` frames starting at global sample `start`
-// (may be negative / past the end: zero padded) from 1-second chunk files
-// `dir/{:06d}.wav` of `frames_per_file` frames each. Applies the
-// (out_channels x out_channels) row-major rotation matrix if non-null
-// (out = out @ rot^T). Returns 0 on success, negative errno-style on failure.
-int sag_read_window(const char* dir, int num_files, long frames_per_file,
-                    long start, long size, int out_channels,
-                    const float* rotation, float* out) {
-  memset(out, 0, sizeof(float) * size * out_channels);
-  const long total = num_files * frames_per_file;
-  long lo = std::max(start, 0L);
-  long hi = std::min(start + size, total);
-  char path[4096];
-  for (long pos = lo; pos < hi;) {
-    const long file_idx = pos / frames_per_file;
-    const long in_file = pos % frames_per_file;
-    const long n = std::min(hi - pos, frames_per_file - in_file);
-    snprintf(path, sizeof(path), "%s/%06ld.wav", dir, file_idx);
-    const long got = DecodeRange(path, in_file, n, out_channels,
-                                 out + (pos - start) * out_channels);
-    if (got < 0) return -1;
-    if (got < n) {  // short file: leave the remainder zero, keep going
-      pos += n;
-      continue;
-    }
-    pos += got;
-  }
-  if (rotation != nullptr) {
-    std::vector<float> row(out_channels);
-    for (long t = 0; t < size; ++t) {
-      float* o = out + t * out_channels;
-      for (int i = 0; i < out_channels; ++i) {
-        float acc = 0.0f;
-        for (int j = 0; j < out_channels; ++j) acc += rotation[i * out_channels + j] * o[j];
-        row[i] = acc;
-      }
-      memcpy(o, row.data(), sizeof(float) * out_channels);
-    }
-  }
-  return 0;
+// Decode an entire wav file (up to max_frames) into out
+// (max_frames x out_channels f32, channel-truncated, zero-filled for
+// missing channels). Returns the number of frames decoded, negative on
+// error. Used by the feeder's per-second chunk cache: decoding runs
+// GIL-free here while the (cheap, vectorized) window assembly and cache
+// bookkeeping stay in Python, so overlapping windows never re-decode.
+long sag_decode_wav(const char* path, int out_channels, long max_frames,
+                    float* out) {
+  return DecodeRange(path, 0, max_frames, out_channels, out);
 }
 
 }  // extern "C"

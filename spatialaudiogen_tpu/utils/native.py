@@ -30,8 +30,16 @@ def load_native():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            stale = not os.path.exists(_LIB_PATH)
+            if not stale:
+                lib_mtime = os.path.getmtime(_LIB_PATH)
+                for sub in ("emd", "loader"):
+                    subdir = os.path.join(_NATIVE_DIR, sub)
+                    stale = stale or any(
+                        os.path.getmtime(os.path.join(subdir, fn)) > lib_mtime
+                        for fn in os.listdir(subdir) if fn.endswith(".cpp"))
+            if stale:
+                subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                                capture_output=True, timeout=180)
             lib = ctypes.CDLL(_LIB_PATH)
             lib.sag_emd_hat.restype = ctypes.c_double
@@ -41,10 +49,17 @@ def load_native():
             lib.sag_emd_hat_batch.argtypes = [
                 ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                 _F64P, _F64P, _F64P, ctypes.c_double, _F64P]
-            lib.sag_read_window.restype = ctypes.c_int
-            lib.sag_read_window.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_long, ctypes.c_long,
-                ctypes.c_long, ctypes.c_int, _F32P, _F32P]
+            lib.sag_decode_wav.restype = ctypes.c_long
+            lib.sag_decode_wav.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_long, _F32P]
+            _U8P = ctypes.POINTER(ctypes.c_uint8)
+            _I32P = ctypes.POINTER(ctypes.c_int)
+            lib.sag_jpeg_probe.restype = ctypes.c_int
+            lib.sag_jpeg_probe.argtypes = [ctypes.c_char_p, _I32P, _I32P, _I32P]
+            lib.sag_jpeg_decode_batch.restype = ctypes.c_int
+            lib.sag_jpeg_decode_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, _U8P]
             _lib = lib
         except Exception:
             _failed = True

@@ -1,22 +1,29 @@
 """Headline benchmark: deploy realtime factor (audio-sec/sec/chip).
 
-Runs the flagship audio+RGB unet_mask model's mono->FOA forward (the
-reference deploy.py workload, deploy.py:41-152) in a batched sliding-window
-configuration on one chip and reports how many seconds of spatial audio are
-generated per wall-clock second.
+Two numbers, one JSON line:
+
+  * `value` (scope "device_fwd"): the flagship audio+RGB unet_mask model's
+    jitted mono->FOA forward on pre-staged device arrays — the chip-compute
+    realtime factor. This is what the ">= 50x per chip" BASELINE.json target
+    scores against.
+  * `e2e_realtime_factor`: MonoToAmbix.deploy() end to end over an on-disk
+    frames dir — jpg/wav decode, window assembly, prefetch, device forward,
+    fetch (the reference's deploy.py:90-152 workload). On this 1-CPU bench
+    VM it is host-feeder-bound; see PERF.md.
+  * `tflops_per_sec` / `mfu_bf16_peak`: XLA cost-analysis FLOPs of the
+    forward over measured device time, and that against a v5e's 197 TFLOP/s
+    bf16 MXU peak.
 
 Measurement notes: on the axon tunnel backend jax.block_until_ready does not
-reliably block, so the result is reduced to a scalar on device and fetched
-per run-end (in-order execution queue => the fetch waits for all queued
-steps). Compiled executables persist in .jax_cache so reruns skip the long
-tunnel compile.
-
-BASELINE.json target: >= 50x realtime per v5e chip (vs_baseline = value/50).
+reliably block, so runs are timed by fetching a device scalar at the end
+(in-order execution queue => the fetch waits for all queued steps). Compiled
+executables persist in .jax_cache so reruns skip the long tunnel compile.
 
 Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -24,14 +31,18 @@ import numpy as np
 BASELINE_REALTIME = 50.0
 BATCH = 128   # sliding windows per step; each emits 0.1 s of FOA
 N_ITERS = 60
+V5E_BF16_PEAK = 197e12
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_E2E_DIR = os.path.join(_REPO, ".bench_e2e")
+E2E_CLIP_SECONDS = 40.0
+E2E_DEPLOY_SECONDS = 36.0
+E2E_BATCH = 32
 
 
-def main():
+def device_fwd_bench():
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from spatialaudiogen_tpu.models import SptAudioGen, SptAudioGenConfig
 
@@ -50,6 +61,12 @@ def main():
         lambda vars_, a, v: jnp.sum(model.apply(vars_, a, v, train=False) ** 2))
 
     d_audio, d_video = jax.device_put(audio), jax.device_put(video)
+    lowered = fwd.lower(variables, d_audio, d_video)
+    compiled = lowered.compile()
+    try:
+        flops_per_iter = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_iter = float("nan")
     checksum = float(fwd(variables, d_audio, d_video))  # compile + sync
     assert np.isfinite(checksum)
 
@@ -61,11 +78,75 @@ def main():
     assert np.isfinite(checksum)
 
     realtime = BATCH * g.snd_dur / g.audio_rate / dt
+    tflops = flops_per_iter / dt / 1e12
+    return realtime, tflops, g
+
+
+def _ensure_e2e_model_dir():
+    """Synthetic frames dir + random-init flagship checkpoint, built once."""
+    import jax
+
+    from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+    from spatialaudiogen_tpu.models import SptAudioGen
+    from spatialaudiogen_tpu.train.checkpoint import save_checkpoint
+    from spatialaudiogen_tpu.train.lr import make_optimizer
+    from spatialaudiogen_tpu.train.state import create_train_state
+
+    db_dir = os.path.join(_E2E_DIR, "db")
+    model_dir = os.path.join(_E2E_DIR, "model")
+    if not os.path.exists(os.path.join(db_dir, "synth000")):
+        make_synthetic_dataset(db_dir, n_videos=1, duration=E2E_CLIP_SECONDS,
+                               frame_hw=(224, 448), seed=0)
+    if not os.path.exists(os.path.join(model_dir, "checkpoints")):
+        os.makedirs(model_dir, exist_ok=True)
+        cfg = TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
+                          separation="unet_mask", frame_hw=(224, 448))
+        cfg.save(model_dir)
+        model = SptAudioGen(cfg.model_config())
+        g = cfg.model_config().geometry
+        example = {
+            "ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
+            "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
+            "video": np.zeros((1, g.vid_dur, 224, 448, 3), np.float32)}
+        state = create_train_state(model, make_optimizer(),
+                                   jax.random.PRNGKey(0), example)
+        save_checkpoint(model_dir, state, 0)
+    return db_dir, model_dir
+
+
+def e2e_deploy_bench():
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+
+    db_dir, model_dir = _ensure_e2e_model_dir()
+    clip = os.path.join(db_dir, "synth000")
+    model = MonoToAmbix(model_dir, batch_size=E2E_BATCH)
+    out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)  # compile + warm cache
+    assert np.isfinite(out).all()
+    t0 = time.perf_counter()
+    out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)
+    dt = time.perf_counter() - t0
+    return out.shape[0] / 48000.0 / dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    realtime, tflops, _ = device_fwd_bench()
+    e2e = e2e_deploy_bench()
     print(json.dumps({
         "metric": "deploy_realtime_factor",
         "value": round(realtime, 2),
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(realtime / BASELINE_REALTIME, 3),
+        "scope": "device_fwd",
+        "e2e_realtime_factor": round(e2e, 2),
+        "tflops_per_sec": round(tflops, 2),
+        "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
     }))
 
 

@@ -48,6 +48,44 @@ def test_deploy_shapes_and_mono_passthrough(trained):
     assert np.isfinite(ambi).all()
 
 
+def test_ondevice_gather_matches_host_windows(trained):
+    """The on-device span-gather fast path must be numerically identical to
+    per-window host assembly (same windows, same model, same outputs)."""
+    root, model_dir = trained
+    clip = os.path.join(root, "synth000")
+    model = MonoToAmbix(model_dir, batch_size=4)
+    mono_d, pred_d = model._predict_span_ondevice(clip, 0.5, 1.5)
+    mono_h, pred_h = model._predict_span_host(clip, 0.5, 1.5)
+    np.testing.assert_allclose(mono_d, mono_h, atol=1e-6)
+    np.testing.assert_allclose(pred_d, pred_h, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def trained_video(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("deploydbv"))
+    make_synthetic_dataset(root, n_videos=1, duration=4.0, frame_hw=(64, 128), seed=3)
+    model_dir = str(tmp_path_factory.mktemp("deploymodelv"))
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir,
+                      encoders=("audio", "video"), separation="unet_mask",
+                      num_sep_tracks=2, frame_hw=(64, 128), n_iters=2,
+                      batch_size=2, n_workers=1, log_every=10, ckpt_every=0,
+                      n_data=1)
+    Trainer(cfg).train()
+    return root, model_dir
+
+
+def test_ondevice_gather_matches_host_windows_video(trained_video):
+    """Video frames ride up as uint8 and are normalized on device; outputs
+    must match the host img_prep_default path exactly."""
+    root, model_dir = trained_video
+    clip = os.path.join(root, "synth000")
+    model = MonoToAmbix(model_dir, batch_size=3)  # uneven last batch
+    mono_d, pred_d = model._predict_span_ondevice(clip, 0.5, 1.0)
+    mono_h, pred_h = model._predict_span_host(clip, 0.5, 1.0)
+    np.testing.assert_allclose(mono_d, mono_h, atol=1e-6)
+    np.testing.assert_allclose(pred_d, pred_h, atol=1e-5)
+
+
 def test_deploy_crossfade_matches_length(trained):
     root, model_dir = trained
     model = MonoToAmbix(model_dir, batch_size=4)

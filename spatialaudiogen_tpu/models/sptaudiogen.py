@@ -96,6 +96,14 @@ class SptAudioGenConfig:
     def __post_init__(self):
         assert all(e in ENCODERS for e in self.encoders)
         assert self.separation in (NO_SEPARATION, FREQ_MASK)
+        if set(self.encoders) & {VIDEO, FLOW}:
+            vid_dur = self.sample_duration * self.video_rate
+            assert vid_dur == 1, (
+                f"visual encoders require sample_duration*video_rate == 1 "
+                f"(got {vid_dur}): the bottleneck folds the single video "
+                f"frame into the batch axis, inheriting the reference's "
+                f"vid_dur==1 assumption (model.py:216-232); longer windows "
+                f"would silently mis-batch the video features")
 
     @property
     def geometry(self) -> ModelGeometry:

@@ -119,3 +119,72 @@ def test_device_prefetch(dataset):
         n += 1
     feeder.stop()
     assert n == 2  # 2 videos x 2 eval chunks / batch 2, drained through prefetch
+
+
+@pytest.fixture(scope="module")
+def big_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("shardd"))
+    ids = make_synthetic_dataset(root, n_videos=5, duration=2.0,
+                                 frame_hw=(32, 64), seed=4)
+    return root, ids
+
+
+def test_provider_shards_disjoint_exhaustive(big_dataset):
+    """Multi-host video sharding: shards partition the dataset — pairwise
+    disjoint and jointly exhaustive for every shard count (replaces the
+    reference's thread split, feeder.py:232-234)."""
+    root, ids = big_dataset
+    full = FilenameProvider(root, num_epochs=1)
+    for num_shards in (1, 2, 3, 5):
+        shards = [FilenameProvider(root, num_epochs=1, shard=(s, num_shards))
+                  for s in range(num_shards)]
+        union = sum((p.sample_ids for p in shards), [])
+        assert sorted(union) == sorted(full.sample_ids)
+        assert len(union) == len(set(union))  # pairwise disjoint
+        # near-even balance: shard sizes differ by at most 1
+        sizes = [len(p.sample_ids) for p in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_feeder_shards_union_equals_single_run(big_dataset):
+    """A 2-shard eval feeder run covers exactly the sample ids of the
+    1-shard run, with no duplicates across shards."""
+    root, ids = big_dataset
+
+    def run(shard_id, num_shards):
+        feeder = Feeder(root, batch_size=4, n_workers=2, for_eval=True,
+                        return_video=False, shard_id=shard_id,
+                        num_shards=num_shards)
+        feeder.start()
+        seen = []
+        for batch in feeder.batches():
+            seen.extend(batch["id"])
+        return seen
+
+    single = run(0, 1)
+    s0, s1 = run(0, 2), run(1, 2)
+    assert set(s0) & set(s1) == set()
+    assert sorted(s0 + s1) == sorted(single)
+    assert len(s0 + s1) == len(single)  # exact multiset match, no dupes
+
+
+def test_shard_times_eval_worker_split_composes(big_dataset):
+    """Host shard (videos) x eval worker chunk split (within video) must
+    jointly cover every chunk exactly once."""
+    root, ids = big_dataset
+    all_chunks = set()
+    for yid in ids:
+        r = SampleReader(os.path.join(root, yid), return_video=False,
+                         shuffle=False, random_rotations=False, skip_rate=10)
+        all_chunks |= {(yid, t) for t in r.chunks_t}
+    covered = []
+    for shard_id in range(2):
+        provider = FilenameProvider(root, num_epochs=1, shard=(shard_id, 2))
+        for yid in provider.loop_samples():
+            for w in range(3):
+                r = SampleReader(os.path.join(root, yid), return_video=False,
+                                 shuffle=False, random_rotations=False,
+                                 skip_rate=10, num_workers=3, worker_id=w)
+                covered.extend((yid, t) for t in r.chunks_t)
+    assert len(covered) == len(set(covered))
+    assert set(covered) == all_chunks

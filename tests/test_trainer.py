@@ -63,3 +63,44 @@ def test_config_roundtrip(tmp_path):
     assert loaded_txt.encoders == ("audio", "video")
     assert loaded_txt.loc_units == (256, 256)
     assert loaded_txt.lr == cfg.lr
+
+
+def test_staircase_lr_boundary_changes_update_scale():
+    """The staircase schedule must actually halve Adam's update magnitude at
+    the decay boundary (guards the 1M-iter run; myutils.py:214-222)."""
+    import jax.numpy as jnp
+    import optax
+
+    from spatialaudiogen_tpu.train.lr import make_optimizer, staircase_decay
+
+    sched = staircase_decay(1e-4, 0.5, 250000)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(249999)) == pytest.approx(1e-4)
+    assert float(sched(250000)) == pytest.approx(5e-5)
+    assert float(sched(500000)) == pytest.approx(2.5e-5)
+
+    tx = make_optimizer(1e-3, 0.5, decay_steps=10)
+    params = {"w": jnp.zeros((4,))}
+    grads = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+    deltas = []
+    for _ in range(20):
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+        deltas.append(float(jnp.abs(updates["w"]).max()))
+    # steady-state Adam with constant grads steps by ~lr; halves at step 10
+    assert deltas[9] == pytest.approx(deltas[8], rel=0.05)
+    assert deltas[10] == pytest.approx(0.5 * deltas[9], rel=0.05)
+    assert deltas[19] == pytest.approx(0.5 * deltas[8], rel=0.05)
+
+
+def test_visual_encoder_vid_dur_guard():
+    """sample_duration * video_rate != 1 with a visual encoder must fail
+    loudly instead of silently mis-batching (reference model.py:216-232)."""
+    from spatialaudiogen_tpu.models import SptAudioGenConfig
+
+    with pytest.raises(AssertionError, match="vid_dur"):
+        SptAudioGenConfig(encoders=("audio", "video"), sample_duration=0.2)
+    # audio-only configs stay free to change the window
+    cfg = SptAudioGenConfig(encoders=("audio",), sample_duration=0.2)
+    assert cfg.geometry.snd_dur == 9600

@@ -224,6 +224,9 @@ class SeparationUNet(nn.Module):
         b = x.shape[0]
         x = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
         mask = nn.sigmoid(x.astype(jnp.float32))
+        # tap for the numpy parity oracle (tests/test_reference_oracle.py):
+        # apply(..., mutable=["intermediates"]) recovers the learned mask
+        self.sow("intermediates", "mask", mask)
 
         # masked ISTFT: real mask times complex STFT == two real scalings
         if cfg.hermitian_dft:
@@ -269,6 +272,7 @@ class SptAudioGen(nn.Module):
             if cfg.hermitian_dft:
                 mag = mirror_hermitian_magnitude(mag)        # back to full bins
             mag = mag.transpose(0, 2, 3, 1)                  # NHWC: (B, T_enc, F, n_in)
+            self.sow("intermediates", "stft_mag", mag)       # numpy-oracle tap
             if cfg.dtype is not None:
                 mag = mag.astype(cfg.dtype)
             acts = audio_encoder_cls(cfg, name="audio_encoder")(mag)

@@ -48,6 +48,9 @@ def parse_arguments(argv=None):
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh size")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the conv/FC stacks in bfloat16 (f32 master "
+                             "weights, f32 DFT/loss/Adam) — the fast mode")
     args = parser.parse_args(argv)
     if len(args.subset_fn) == 0:
         args.subset_fn = None
@@ -77,7 +80,8 @@ def main(argv=None):
         loc_units=tuple(args.loc_units), resume=args.resume,
         n_workers=args.n_workers, log_every=args.log_every,
         ckpt_every=args.ckpt_every, seed=args.seed,
-        frame_hw=tuple(args.frame_hw), n_data=args.n_data, n_model=args.n_model)
+        frame_hw=tuple(args.frame_hw), n_data=args.n_data, n_model=args.n_model,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
 
     print("=" * 30 + " ARGUMENTS " + "=" * 30)
     for k, v in vars(args).items():

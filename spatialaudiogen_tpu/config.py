@@ -51,10 +51,25 @@ class TrainConfig:
     weight_decay: float = 5e-4
     clip_norm: float | None = None
     dft_precision: str = "highest"
+    # "bfloat16" runs the conv/FC stacks in bf16 on the MXU with f32 master
+    # weights; the DFTs, mask, decode, loss, and Adam stay f32 (fast mode,
+    # PERF.md). "float32" is the parity default.
+    compute_dtype: str = "float32"
+    # Pallas masked-iDFT matmul precision ("default" = 53 dB SNR vs exact,
+    # ~1.4x faster forward; "highest" = ~1e-7; models.sptaudiogen).
+    pallas_precision: str = "default"
 
     def model_config(self) -> SptAudioGenConfig:
         num_sep = self.num_sep_tracks if self.separation == FREQ_MASK else 1
+        assert self.compute_dtype in ("float32", "bfloat16"), self.compute_dtype
+        dtype = None
+        if self.compute_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            dtype = jnp.bfloat16
         return SptAudioGenConfig(
+            dtype=dtype,
+            pallas_precision=self.pallas_precision,
             ambi_order=self.ambi_order,
             audio_rate=self.audio_rate,
             video_rate=self.video_rate,

@@ -35,7 +35,17 @@ from spatialaudiogen_tpu.ops.dft import _basis, istft_real
 TRACK_TILE = 8  # tracks per grid step (>=8 keeps block tiling MXU-legal)
 
 
-def _kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *, n_overlap: int):
+def _to_precision(precision):
+    """Map the model's dft_precision string onto what Mosaic supports
+    (DEFAULT = one bf16 MXU pass ~2.5e-3 rel err; HIGHEST = six passes,
+    ~f64-grade — Precision.HIGH is not implemented in the Pallas lowering)."""
+    if precision in ("highest", jax.lax.Precision.HIGHEST):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
+def _kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *, n_overlap: int,
+            precision):
     tr, n_frames, n_freqs = mask_ref.shape[1:]
     hop = n_freqs // n_overlap
     n_winds = n_frames // n_overlap
@@ -44,8 +54,10 @@ def _kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *, n_overlap: int):
     m = mask_ref[0]                                     # (TR, T, F)
     rm = (re_ref[0][None] * m).reshape(tr * n_frames, n_freqs)
     imm = (im_ref[0][None] * m).reshape(tr * n_frames, n_freqs)
-    x = (jnp.dot(rm, c_ref[...], preferred_element_type=jnp.float32)
-         + jnp.dot(imm, s_ref[...], preferred_element_type=jnp.float32)) / n_freqs
+    x = (jnp.dot(rm, c_ref[...], preferred_element_type=jnp.float32,
+                 precision=precision)
+         + jnp.dot(imm, s_ref[...], preferred_element_type=jnp.float32,
+                   precision=precision)) / n_freqs
     # comb-stream overlap-add (see dsp.stft.istft): stream k = frames
     # t % n_overlap == k butt-joined, trimmed to a common interior.
     x = x.reshape(tr, n_winds, n_overlap, n_freqs)
@@ -57,17 +69,19 @@ def _kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *, n_overlap: int):
     out_ref[0] = acc / float(n_overlap)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def masked_istft_pallas(re, im, mask, n_overlap: int = 4, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def masked_istft_pallas(re, im, mask, n_overlap: int = 4, interpret: bool = False,
+                        precision="highest"):
     """Fused masked comb-ISTFT.
 
     re, im: (B, n_in, T, F) real/imag spectra; mask: (B, n_in, TR, T, F).
     Returns (B, n_in, TR, out_len) separated track waveforms.
+    `precision` applies to the iDFT matmuls (see _to_precision).
     """
-    return _forward(re, im, mask, n_overlap, interpret)
+    return _forward(re, im, mask, n_overlap, interpret, precision)
 
 
-def _forward(re, im, mask, n_overlap, interpret):
+def _forward(re, im, mask, n_overlap, interpret, precision="highest"):
     b, n_in, t, f = re.shape
     tracks = mask.shape[2]
     hop = f // n_overlap
@@ -88,7 +102,8 @@ def _forward(re, im, mask, n_overlap, interpret):
 
     grid = (b * n_in, tracks_p // tile)
     out = pl.pallas_call(
-        functools.partial(_kernel, n_overlap=n_overlap),
+        functools.partial(_kernel, n_overlap=n_overlap,
+                          precision=_to_precision(precision)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0),
@@ -109,34 +124,45 @@ def _forward(re, im, mask, n_overlap, interpret):
 
 
 def _bwd_kernel(g_ref, re_ref, im_ref, mask_ref, c_ref, s_ref,
-                gmask_ref, gre_ref, gim_ref, *, n_overlap: int):
-    """Fused backward for one (batch, track-tile) block.
+                gmask_ref, gre_ref, gim_ref, *, n_overlap: int, n_freqs: int,
+                precision):
+    """Fused backward for one (batch, track-tile, freq-chunk) block.
 
     Scatters the output cotangent back onto the comb streams, runs the two
     transposed iDFT matmuls (the cos/sin bases are symmetric, so C^T = C),
     and emits d(mask) for this tile plus partial d(re)/d(im) accumulated
     across track tiles (the j grid axis revisits the same output block).
+
+    The innermost grid axis chunks the *output frequency* columns: the
+    contraction runs over all n_freqs frame samples, but only an
+    (n_freqs, FB) basis slab and FB-wide re/im/mask/output blocks are VMEM
+    resident. With full (1024, 1024) bases the block set needed ~16.1 MB of
+    scoped VMEM — right at the 16 MB stack limit and over it under some
+    surrounding fusions (observed with bf16 encoders).
     """
-    tr, n_frames, n_freqs = mask_ref.shape[1:]
+    tr, n_frames, fb = mask_ref.shape[1:]
     hop = n_freqs // n_overlap
     n_winds = n_frames // n_overlap
     out_len = n_winds * n_freqs - (n_overlap - 1) * hop
     scale = 1.0 / (n_overlap * n_freqs)
 
-    g = g_ref[0]                                        # (TR, out_len)
+    g = g_ref[0] * scale                                # (TR, out_len)
+    max_front = (n_overlap - 1) * hop
+    gp = jnp.pad(g, ((0, 0), (max_front, max_front)))
     streams = []
     for k in range(n_overlap):
         front = (n_overlap - 1 - k) * hop
-        back = n_winds * n_freqs - front - out_len
-        gk = jnp.pad(g, ((0, 0), (front, back)))
+        gk = gp[:, max_front - front: max_front - front + n_winds * n_freqs]
         streams.append(gk.reshape(tr, n_winds, 1, n_freqs))
     gx = jnp.concatenate(streams, axis=2)               # (TR, nW, OV, F)
-    gx = (gx * scale).reshape(tr * n_frames, n_freqs)
+    gx = gx.reshape(tr * n_frames, n_freqs)
 
-    g_rm = jnp.dot(gx, c_ref[...], preferred_element_type=jnp.float32)
-    g_imm = jnp.dot(gx, s_ref[...], preferred_element_type=jnp.float32)
-    g_rm = g_rm.reshape(tr, n_frames, n_freqs)
-    g_imm = g_imm.reshape(tr, n_frames, n_freqs)
+    g_rm = jnp.dot(gx, c_ref[...], preferred_element_type=jnp.float32,
+                   precision=precision)
+    g_imm = jnp.dot(gx, s_ref[...], preferred_element_type=jnp.float32,
+                    precision=precision)
+    g_rm = g_rm.reshape(tr, n_frames, fb)
+    g_imm = g_imm.reshape(tr, n_frames, fb)
 
     re = re_ref[0][None]
     im = im_ref[0][None]
@@ -145,18 +171,18 @@ def _bwd_kernel(g_ref, re_ref, im_ref, mask_ref, c_ref, s_ref,
     part_re = jnp.sum(g_rm * m, axis=0)
     part_im = jnp.sum(g_imm * m, axis=0)
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         gre_ref[0] = part_re
         gim_ref[0] = part_im
 
-    @pl.when(pl.program_id(1) != 0)
+    @pl.when(pl.program_id(2) != 0)
     def _acc():
         gre_ref[0] = gre_ref[0] + part_re
         gim_ref[0] = gim_ref[0] + part_im
 
 
-def _backward_pallas(re, im, mask, g, n_overlap, interpret):
+def _backward_pallas(re, im, mask, g, n_overlap, interpret, precision="highest"):
     b, n_in, t, f = re.shape
     tracks = mask.shape[2]
     tile = min(TRACK_TILE, tracks)
@@ -176,24 +202,35 @@ def _backward_pallas(re, im, mask, g, n_overlap, interpret):
     g2 = g.reshape(b * n_in, tracks_p, out_len)
     c, s = _basis(f)
 
+    fb = min(512, f)  # output-frequency chunk (see _bwd_kernel docstring)
+    assert f % fb == 0
+    # grid order: the track-tile axis j accumulates into the gre/gim blocks
+    # by revisiting them, so it must be INNERMOST (revisits of an output
+    # block are only defined for consecutive grid steps); the freq-chunk
+    # axis k sits in the middle.
     gmask, gre, gim = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_overlap=n_overlap),
-        grid=(b * n_in, tracks_p // tile),
+        functools.partial(_bwd_kernel, n_overlap=n_overlap, n_freqs=f,
+                          precision=_to_precision(precision)),
+        grid=(b * n_in, f // fb, tracks_p // tile),
         in_specs=[
-            pl.BlockSpec((1, tile, out_len), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, tile, out_len), lambda i, k, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, t, f), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, t, fb), lambda i, k, j: (i, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, fb), lambda i, k, j: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, t, fb), lambda i, k, j: (i, j, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, fb), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, fb), lambda i, k, j: (0, k), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile, t, f), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, tile, t, fb), lambda i, k, j: (i, j, 0, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, f), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, fb), lambda i, k, j: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, fb), lambda i, k, j: (i, 0, k),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * n_in, tracks_p, t, f), jnp.float32),
@@ -206,14 +243,15 @@ def _backward_pallas(re, im, mask, g, n_overlap, interpret):
     return gre.reshape(b, n_in, t, f), gim.reshape(b, n_in, t, f), g_mask
 
 
-def _fwd(re, im, mask, n_overlap, interpret):
-    return _forward(re, im, mask, n_overlap, interpret), (re, im, mask)
+def _fwd(re, im, mask, n_overlap, interpret, precision="highest"):
+    return _forward(re, im, mask, n_overlap, interpret, precision), (re, im, mask)
 
 
-def _bwd(n_overlap, interpret, residuals, g):
+def _bwd(n_overlap, interpret, precision, residuals, g):
     """Backward: fused Pallas path (same grid structure as the forward)."""
     re, im, mask = residuals
-    g_re, g_im, g_mask = _backward_pallas(re, im, mask, g, n_overlap, interpret)
+    g_re, g_im, g_mask = _backward_pallas(re, im, mask, g, n_overlap, interpret,
+                                          precision)
     return g_re, g_im, g_mask
 
 

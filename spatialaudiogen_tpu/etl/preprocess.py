@@ -176,12 +176,24 @@ def compress_flow(flow: np.ndarray, flow_dir: str):
 
 def preprocess_video_worker(job: dict):
     """One video end-to-end (the per-process unit of the ETL pool)."""
+    dry_run = job.get("dry_run", False)
     prepare_ambisonics(job["audio_fn"], job["prep_audio_fn"], job["codec"],
-                       dry_run=job.get("dry_run", False))
+                       dry_run=dry_run)
     if job.get("video_fn"):
+        in_shape = job.get("in_shape")
+        if in_shape is None and job.get("projection") == "EAC":
+            # the EAC remap maps are keyed by the input resolution; probe it
+            # like the reference does (preprocess.py:44-45)
+            if dry_run:
+                in_shape = (1920, 3840)  # placeholder: command shape only
+            else:
+                from spatialaudiogen_tpu.utils.io_video import get_ffprobe_meta
+
+                meta = get_ffprobe_meta(job["video_fn"])["video"]
+                in_shape = (int(meta["height"]), int(meta["width"]))
         prepare_video(job["video_fn"], job.get("stereopsis", "MONO"),
                       job.get("projection", "ER"), job["prep_video_fn"],
-                      in_shape=job.get("in_shape"), dry_run=job.get("dry_run", False))
+                      in_shape=in_shape, dry_run=dry_run)
     if not job.get("dry_run"):
         extract_frames(job["prep_audio_fn"], job.get("prep_video_fn"),
                        job["frames_dir"])
@@ -195,3 +207,85 @@ def preprocess_all(jobs: list, n_workers: int = 4):
         return [preprocess_video_worker(j) for j in jobs]
     with mp.Pool(n_workers) as pool:
         return pool.map(preprocess_video_worker, jobs)
+
+
+def build_jobs(db_lst_fn: str, orig_dir: str, prep_dir: str, frames_dir: str,
+               low_res: bool = False, dry_run: bool = False) -> list:
+    """Per-video job dicts from a downloads dir (preprocess.py:268-273).
+
+    Downloaded streams are named `<id>.audio.f<fmt>.<ext>` / `<id>.video.<ext>`
+    (etl.download templates); codec / stereopsis / projection come from the
+    vendored meta/formats tables (columns 3-4, preprocess.py:240-248). Ids
+    missing a stream or a table row are skipped like the reference.
+    """
+    import glob
+
+    from spatialaudiogen_tpu.etl.download import (
+        AUDIO_FORMATS_FN,
+        VIDEO_FORMATS_FN,
+        VIDEO_FORMATS_LOWRES_FN,
+    )
+
+    def rows(fn):
+        table = {}
+        for line in open(fn):
+            parts = line.split()
+            if len(parts) >= 3:
+                table[parts[0]] = parts[1:]
+        return table
+
+    audio_meta = rows(AUDIO_FORMATS_FN)
+    video_meta = rows(VIDEO_FORMATS_LOWRES_FN if low_res else VIDEO_FORMATS_FN)
+    audio_files = {os.path.basename(fn).split(".")[0]: fn
+                   for fn in glob.glob(os.path.join(orig_dir, "*.audio.*"))}
+    video_files = {os.path.basename(fn).split(".")[0]: fn
+                   for fn in glob.glob(os.path.join(orig_dir, "*.video.*"))}
+
+    jobs = []
+    for yid in (line.strip().split()[0] for line in open(db_lst_fn) if line.strip()):
+        if yid not in audio_files or yid not in audio_meta:
+            continue
+        job = {
+            "audio_fn": audio_files[yid],
+            "prep_audio_fn": os.path.join(prep_dir, f"{yid}-ambix.m4a"),
+            "codec": audio_meta[yid][1],
+            "frames_dir": os.path.join(frames_dir, yid),
+            "dry_run": dry_run,
+        }
+        if yid in video_files and yid in video_meta:
+            job["video_fn"] = video_files[yid]
+            job["prep_video_fn"] = os.path.join(prep_dir, f"{yid}-video.mp4")
+            job["stereopsis"] = video_meta[yid][1]
+            job["projection"] = video_meta[yid][2]
+        jobs.append(job)
+    return jobs
+
+
+def main(argv=None) -> None:
+    """CLI parity with `python scraping/preprocess.py db.lst`
+    (preprocess.py:207-285)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Preprocess downloaded videos into the frames layout.")
+    parser.add_argument("db_list", help="File with one youtube id per line.")
+    parser.add_argument("--orig_dir", default="data/orig")
+    parser.add_argument("--output_prep_dir", default="data/preproc")
+    parser.add_argument("--output_frames_dir", default="data/frames")
+    parser.add_argument("--num_workers", default=4, type=int)
+    parser.add_argument("--low_res", action="store_true")
+    parser.add_argument("--dry_run", action="store_true",
+                        help="Print the ffmpeg commands without running them.")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_prep_dir, exist_ok=True)
+    os.makedirs(args.output_frames_dir, exist_ok=True)
+    jobs = build_jobs(args.db_list, args.orig_dir, args.output_prep_dir,
+                      args.output_frames_dir, low_res=args.low_res,
+                      dry_run=args.dry_run)
+    print(f"{len(jobs)} videos to preprocess")
+    preprocess_all(jobs, n_workers=1 if args.dry_run else args.num_workers)
+
+
+if __name__ == "__main__":
+    main()

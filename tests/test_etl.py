@@ -171,3 +171,36 @@ def test_extract_frames_and_audio_pow(tmp_path):
     assert len(lines) == 20  # (3-1)*10 windows
     t0, p0 = map(float, lines[0].split())
     assert t0 == 0.5 and p0 > 0.2
+
+
+def test_build_jobs_from_downloads(tmp_path):
+    """Job construction mirrors reference preprocess.py:268-273: streams
+    matched by filename id, codec/stereopsis/projection from meta/formats."""
+    import os
+
+    from spatialaudiogen_tpu.etl.preprocess import build_jobs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # two real ids from the vendored tables + one unknown
+    ids = ["-076WPWoCRE", "03UPyfDYf4g", "zzz_unknown"]
+    orig = tmp_path / "orig"
+    orig.mkdir()
+    for yid in ids:
+        (orig / f"{yid}.audio.f338.webm").write_bytes(b"x")
+        (orig / f"{yid}.video.mp4").write_bytes(b"x")
+    db = tmp_path / "db.lst"
+    db.write_text("\n".join(ids) + "\n")
+    jobs = build_jobs(str(db), str(orig), str(tmp_path / "prep"),
+                      str(tmp_path / "frames"), dry_run=True)
+    by_id = {os.path.basename(j["frames_dir"]): j for j in jobs}
+    assert set(by_id) == {"-076WPWoCRE", "03UPyfDYf4g"}  # unknown id skipped
+    j = by_id["-076WPWoCRE"]
+    assert j["codec"] == "opus"
+    assert j["prep_audio_fn"].endswith("-076WPWoCRE-ambix.m4a")
+    jv = by_id["03UPyfDYf4g"]
+    assert (jv["stereopsis"], jv["projection"]) == ("MONO", "EAC")
+
+    # the dry-run worker path builds commands without ffmpeg present
+    from spatialaudiogen_tpu.etl.preprocess import preprocess_all
+
+    assert preprocess_all(jobs, n_workers=1) == [j["frames_dir"] for j in jobs]

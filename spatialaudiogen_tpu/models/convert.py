@@ -55,6 +55,39 @@ def _normalize_flax_path(path: tuple) -> str:
     return "/".join(parts)
 
 
+_INV_LEAF_MAP = {"kernel": "weights", "bias": "biases", "scale": "gamma",
+                 "mean": "moving_mean", "var": "moving_variance"}
+
+
+def to_tf_var_dict(variables: dict, transpose_deconv: bool = True) -> dict:
+    """Inverse of restore_tf_var_dict: Flax variables -> {tf_var_name: array}.
+
+    Emits the reference's TF1 variable names (weights/biases/gamma/beta/
+    moving_*; resnet.py:238-249 naming) so a framework checkpoint can be
+    written back into a reference-loadable bundle. Deconv kernels are
+    transposed to TF's (H, W, out, in) layout.
+    """
+    out = {}
+    index = flax_path_index(variables)
+    for norm_key, (coll, path, _) in index.items():
+        node = variables[coll]
+        for p in path:
+            node = node[p]
+        value = np.asarray(node)
+        parts = norm_key.split("/")
+        leaf = path[-1]
+        if leaf == "bias" and len(parts) >= 2 and parts[-2] == "bn":
+            parts[-1] = "beta"
+        else:
+            parts[-1] = _INV_LEAF_MAP[leaf]
+        name = "/".join(parts)
+        if transpose_deconv and "deconv" in path and leaf == "kernel":
+            value = value.transpose(0, 1, 3, 2)
+        assert name not in out, f"tf name collision: {name}"
+        out[name] = value
+    return out
+
+
 def flax_path_index(variables: dict) -> dict:
     """normalized path string -> (collection, tuple-path) for params+batch_stats."""
     index = {}

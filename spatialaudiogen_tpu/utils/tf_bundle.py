@@ -432,7 +432,9 @@ def save_tf_checkpoint(prefix: str, tensors: dict) -> None:
     with open(_shard_fn(prefix, 0, 1), "wb") as data_f:
         # TF writes tensors in sorted-name order; offsets are cumulative.
         for name in sorted(tensors):
-            arr = np.ascontiguousarray(tensors[name])
+            # NOT ascontiguousarray: that promotes 0-d arrays to 1-d and
+            # would record scalars (e.g. global_step) with shape (1,)
+            arr = np.asarray(tensors[name])
             if arr.dtype == np.float64:
                 arr = arr.astype("<f4")  # TF1 models are float32
             dtype = np.dtype(arr.dtype.str.replace(">", "<"))

@@ -169,3 +169,50 @@ def test_import_tf_bundle_end_to_end(tmp_path):
         np.testing.assert_allclose(got, expected.reshape(got.shape), atol=1e-6)
         matched += 1
     assert matched == n_model_vars  # 100% of model variables mapped
+
+
+def test_export_to_tf_bundle_roundtrip(tmp_path):
+    """orbax checkpoint -> TF1 bundle -> back: the exported bundle carries
+    exactly the model's variables under reference TF names."""
+    import os
+    import sys
+
+    import jax
+
+    from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.models.convert import restore_tf_var_dict, to_tf_var_dict
+    from spatialaudiogen_tpu.train.checkpoint import save_checkpoint
+    from spatialaudiogen_tpu.train.lr import make_optimizer
+    from spatialaudiogen_tpu.train.state import create_train_state
+    from spatialaudiogen_tpu.utils.tf_bundle import load_tf_checkpoint
+
+    cfg, model, variables = _model_variables()
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
+                separation="unet_mask", num_sep_tracks=4,
+                frame_hw=(64, 128)).save(model_dir)
+    g = cfg.geometry
+    example = {"ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
+               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
+               "video": np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)}
+    state = create_train_state(model, make_optimizer(), jax.random.PRNGKey(2),
+                               example)
+    save_checkpoint(model_dir, state, 77)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    import export_to_tf_bundle
+
+    out_dir = str(tmp_path / "tf_out")
+    export_to_tf_bundle.main([model_dir, out_dir])
+    blobs = load_tf_checkpoint(out_dir, verify_crc=True)
+    assert blobs.pop("global_step") == 77
+    expected = to_tf_var_dict({"params": state.params,
+                               "batch_stats": state.batch_stats})
+    assert set(blobs) == set(expected)
+    for name in expected:
+        np.testing.assert_allclose(blobs[name], expected[name], atol=0)
+    # and the bundle re-imports cleanly onto a fresh tree
+    _, unmatched = restore_tf_var_dict(blobs, variables)
+    assert unmatched == {}

@@ -133,3 +133,14 @@ def test_golden_fixture_bundle():
     np.testing.assert_array_equal(back["a/biases"],
                                   np.array([-1.5, 2.5], np.float32))
     assert back["step"] == 42 and back["step"].dtype == np.int64
+
+
+def test_scalar_shape_preserved(tmp_path):
+    """0-d tensors (global_step) must keep shape () in the bundle
+    (np.ascontiguousarray silently promotes 0-d to 1-d)."""
+    prefix = str(tmp_path / "model.ckpt-3")
+    tb.save_tf_checkpoint(prefix, {"global_step": np.array(3, np.int64),
+                                   "w": np.ones((2,), np.float32)})
+    back = tb.load_tf_checkpoint(prefix, verify_crc=True)
+    assert back["global_step"].shape == ()
+    assert int(back["global_step"]) == 3

@@ -40,13 +40,14 @@ E2E_DEPLOY_SECONDS = 36.0
 E2E_BATCH = 32
 
 
-def device_fwd_bench():
+def device_fwd_bench(bf16: bool = False):
     import jax
     import jax.numpy as jnp
 
     from spatialaudiogen_tpu.models import SptAudioGen, SptAudioGenConfig
 
-    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask")
+    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask",
+                            dtype=jnp.bfloat16 if bf16 else None)
     g = cfg.geometry
     model = SptAudioGen(cfg)
 
@@ -137,6 +138,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     realtime, tflops, _ = device_fwd_bench()
+    fast_realtime, _, _ = device_fwd_bench(bf16=True)
     e2e = e2e_deploy_bench()
     print(json.dumps({
         "metric": "deploy_realtime_factor",
@@ -144,6 +146,7 @@ def main():
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(realtime / BASELINE_REALTIME, 3),
         "scope": "device_fwd",
+        "bf16_realtime_factor": round(fast_realtime, 2),
         "e2e_realtime_factor": round(e2e, 2),
         "tflops_per_sec": round(tflops, 2),
         "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),

@@ -62,18 +62,19 @@ def device_fwd_bench(bf16: bool = False):
         lambda vars_, a, v: jnp.sum(model.apply(vars_, a, v, train=False) ** 2))
 
     d_audio, d_video = jax.device_put(audio), jax.device_put(video)
-    lowered = fwd.lower(variables, d_audio, d_video)
-    compiled = lowered.compile()
+    # one compile: the AOT executable serves cost analysis AND the timing
+    # loop (a second jit call would pay cache deserialization again)
+    compiled = fwd.lower(variables, d_audio, d_video).compile()
     try:
         flops_per_iter = float(compiled.cost_analysis()["flops"])
     except Exception:
         flops_per_iter = float("nan")
-    checksum = float(fwd(variables, d_audio, d_video))  # compile + sync
+    checksum = float(compiled(variables, d_audio, d_video))  # warm + sync
     assert np.isfinite(checksum)
 
     t0 = time.perf_counter()
     for _ in range(N_ITERS):
-        out = fwd(variables, d_audio, d_video)
+        out = compiled(variables, d_audio, d_video)
     checksum = float(out)  # forces completion of the whole in-order queue
     dt = (time.perf_counter() - t0) / N_ITERS
     assert np.isfinite(checksum)
@@ -127,7 +128,7 @@ def e2e_deploy_bench():
     t0 = time.perf_counter()
     out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)
     dt = time.perf_counter() - t0
-    return out.shape[0] / 48000.0 / dt
+    return out.shape[0] / model.cfg.audio_rate / dt
 
 
 def main():

@@ -55,9 +55,11 @@ class AudioChunkReader:
         self._cache: dict = {}
         self._native = None
         if use_native and int(self.rate) == int(native_rate):
-            from spatialaudiogen_tpu.utils.native import load_native
+            from spatialaudiogen_tpu.utils.native import has_symbol, load_native
 
-            self._native = load_native()
+            lib = load_native()
+            if has_symbol(lib, "sag_decode_wav"):
+                self._native = lib
 
     def _load_second(self, i: int) -> np.ndarray:
         if i not in self._cache:
@@ -140,9 +142,12 @@ class VideoFrameReader:
         self.duration = self.num_frames / self.RAW_RATE
         self._native = None
         if use_native:
-            from spatialaudiogen_tpu.utils.native import load_native
+            from spatialaudiogen_tpu.utils.native import has_symbol, load_native
 
-            self._native = load_native()
+            lib = load_native()
+            if has_symbol(lib, "sag_jpeg_probe") and \
+                    has_symbol(lib, "sag_jpeg_decode_batch"):
+                self._native = lib
         first_fn = os.path.join(video_folder, sorted(frame_fns)[0])
         self.raw_shape = None
         if self._native is not None:
@@ -184,7 +189,11 @@ class VideoFrameReader:
                 if rotation is not None else 0)
         frame_nos = [min(fno, self.num_frames - 1)  # clamp at the last frame
                      for fno in range(ss, ss + size)]
-        if self._native is not None:
+        # the native path rolls raw pixels pre-prep; only valid when
+        # img_prep preserves width (both in-repo preps are elementwise)
+        native_ok = (self._native is not None and
+                     (roll == 0 or self.raw_shape[1] == self.frame_shape[1]))
+        if native_ok:
             raw = self._decode_window_native(frame_nos, roll)
             if raw is not None:
                 return self.img_prep(raw)

@@ -190,8 +190,7 @@ class MonoToAmbix:
         for k in range(0, len(ts), B):
             batch_ts = ts[k: k + B]
             n = len(batch_ts)
-            starts = [int(round((t - self.cfg.context / 2) * rate))
-                      for t in batch_ts]
+            starts = [g.chunk_start_sample(t) for t in batch_ts]
             rel = np.array(starts, np.int32) - starts[0]
             assert rel.max() + g.snd_size <= span_len, "window drift > slack"
             rel = np.concatenate([rel, np.full(B - n, rel[-1], np.int32)])

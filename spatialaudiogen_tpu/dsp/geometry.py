@@ -159,6 +159,17 @@ class ModelGeometry:
     def nosep_ss(self) -> int:
         return self.snd_contx // 2
 
+    # --- feeder window placement (feeder.py:66 semantics, fixed) ---
+    def chunk_start_sample(self, t: float) -> int:
+        """First input sample of the window centered at chunk time t.
+
+        The window spans [t - context/2, t + context/2 + duration); sample
+        placement rounds to nearest (NOT the reference's truncation, which
+        drifts one sample early on times like 1.4 - 0.5 — see
+        AudioChunkReader.get). Every consumer of window-start arithmetic
+        (feeder, deploy span gather) must go through this."""
+        return int(round((t - self.context / 2.0) * self.audio_rate))
+
     # --- training target slice (train.py:107-111, py2 int division) ---
     @property
     def target_ss(self) -> int:

@@ -56,8 +56,10 @@ def prepare_ambisonics(inp_fn: str, out_fn: str, inp_codec: str,
 
 
 def video_cmds(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
-               out_shape, out_rate: int, in_shape=None, pgm_dir: str = "pgms") -> list:
-    """ffmpeg command(s) for ER/EAC videos; generates remap PGMs for EAC."""
+               out_shape, out_rate: int, in_shape=None, pgm_dir: str = "pgms",
+               write_pgms: bool = True) -> list:
+    """ffmpeg command(s) for ER/EAC videos; generates remap PGMs for EAC
+    (skipped when write_pgms is False — dry runs must not touch disk)."""
     cmds = []
     if projection == "ER":
         filters = []
@@ -69,13 +71,13 @@ def video_cmds(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
     elif projection == "EAC":
         assert in_shape is not None, "EAC remap needs the input frame shape"
         height, width = in_shape
-        os.makedirs(pgm_dir, exist_ok=True)
         # maps rendered at 2x then downscaled, like preprocess.py:56-60
         hi_shape = (out_shape[0] * 2, out_shape[1] * 2)
         tag = f"{height}x{width}_{hi_shape[0]}x{hi_shape[1]}_{stereopsis}"
         xmap_fn = os.path.join(pgm_dir, f"xmap_{tag}.pgm")
         ymap_fn = os.path.join(pgm_dir, f"ymap_{tag}.pgm")
-        if not (os.path.isfile(xmap_fn) and os.path.isfile(ymap_fn)):
+        if write_pgms and not (os.path.isfile(xmap_fn) and os.path.isfile(ymap_fn)):
+            os.makedirs(pgm_dir, exist_ok=True)
             xmap, ymap = gen_eac2eqr_maps((height, width), hi_shape, stereopsis)
             with open(xmap_fn, "w") as f:
                 save_pgm(f, xmap.astype(np.uint16), 2 ** 16 - 1)
@@ -93,11 +95,15 @@ def video_cmds(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
 
 def prepare_video(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
                   out_shape=(224, 448), out_rate: int = 10, in_shape=None,
-                  overwrite: bool = False, dry_run: bool = False, pgm_dir: str = "pgms"):
+                  overwrite: bool = False, dry_run: bool = False,
+                  pgm_dir: str | None = None):
     if os.path.exists(out_fn) and not overwrite:
         return None
+    if pgm_dir is None:
+        # next to the prepared video, never cwd-relative
+        pgm_dir = os.path.join(os.path.dirname(os.path.abspath(out_fn)), "pgms")
     cmds = video_cmds(inp_fn, stereopsis, projection, out_fn, out_shape,
-                      out_rate, in_shape, pgm_dir)
+                      out_rate, in_shape, pgm_dir, write_pgms=not dry_run)
     for cmd in cmds:
         run_system_cmd(cmd, dry_run=dry_run)
     return cmds

@@ -23,8 +23,40 @@ _F64P = ctypes.POINTER(ctypes.c_double)
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I32P = ctypes.POINTER(ctypes.c_int)
+
+# name -> (restype, argtypes). A symbol missing from an older .so (e.g. a
+# vendored build predating the jpeg decoder, with no toolchain to rebuild)
+# only disables the paths that use it — callers must hasattr-check optional
+# symbols (see has_symbol).
+_SIGNATURES = {
+    "sag_emd_hat": (ctypes.c_double,
+                    [ctypes.c_int32, ctypes.c_int32, _F64P, _F64P, _F64P,
+                     ctypes.c_double]),
+    "sag_emd_hat_batch": (None,
+                          [ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                           _F64P, _F64P, _F64P, ctypes.c_double, _F64P]),
+    "sag_decode_wav": (ctypes.c_long,
+                       [ctypes.c_char_p, ctypes.c_int, ctypes.c_long, _F32P]),
+    "sag_jpeg_probe": (ctypes.c_int, [ctypes.c_char_p, _I32P, _I32P, _I32P]),
+    "sag_jpeg_decode_batch": (ctypes.c_int,
+                              [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8P]),
+}
+
+
+def has_symbol(lib, name: str) -> bool:
+    """True if the loaded library exports `name` (configured signature)."""
+    return lib is not None and name in getattr(lib, "_sag_symbols", ())
+
+
 def load_native():
-    """Build (if needed) and load libsagnative; None on failure."""
+    """Build (if needed) and load libsagnative; None on failure.
+
+    A failed rebuild (e.g. missing libjpeg on the host) falls back to the
+    existing .so rather than disabling native paths that already worked.
+    """
     global _lib, _failed
     with _lock:
         if _lib is not None or _failed:
@@ -39,27 +71,25 @@ def load_native():
                         os.path.getmtime(os.path.join(subdir, fn)) > lib_mtime
                         for fn in os.listdir(subdir) if fn.endswith(".cpp"))
             if stale:
-                subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True, timeout=180)
+                try:
+                    subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
+                                   capture_output=True, timeout=180)
+                except Exception:
+                    if not os.path.exists(_LIB_PATH):
+                        raise
+                    # keep serving the existing (possibly older) library
             lib = ctypes.CDLL(_LIB_PATH)
-            lib.sag_emd_hat.restype = ctypes.c_double
-            lib.sag_emd_hat.argtypes = [ctypes.c_int32, ctypes.c_int32,
-                                        _F64P, _F64P, _F64P, ctypes.c_double]
-            lib.sag_emd_hat_batch.restype = None
-            lib.sag_emd_hat_batch.argtypes = [
-                ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-                _F64P, _F64P, _F64P, ctypes.c_double, _F64P]
-            lib.sag_decode_wav.restype = ctypes.c_long
-            lib.sag_decode_wav.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_long, _F32P]
-            _U8P = ctypes.POINTER(ctypes.c_uint8)
-            _I32P = ctypes.POINTER(ctypes.c_int)
-            lib.sag_jpeg_probe.restype = ctypes.c_int
-            lib.sag_jpeg_probe.argtypes = [ctypes.c_char_p, _I32P, _I32P, _I32P]
-            lib.sag_jpeg_decode_batch.restype = ctypes.c_int
-            lib.sag_jpeg_decode_batch.argtypes = [
-                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, _U8P]
+            available = []
+            for name, (restype, argtypes) in _SIGNATURES.items():
+                try:
+                    fn = getattr(lib, name)
+                except AttributeError:
+                    continue
+                fn.restype = restype
+                fn.argtypes = argtypes
+                available.append(name)
+            assert "sag_emd_hat" in available  # every shipped .so has the EMD core
+            lib._sag_symbols = tuple(available)
             _lib = lib
         except Exception:
             _failed = True

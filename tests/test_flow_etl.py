@@ -48,3 +48,27 @@ def test_flow_for_frames_writes_feeder_layout(tmp_path):
     chunk = reader.get_by_index(0, 2)
     assert chunk.shape == (2, 48, 64, 3)
     assert np.isfinite(chunk).all()
+
+
+def test_flow_cli_over_db_list(tmp_path, capsys):
+    """sag-flow computes flow for each listed video and skips idempotently."""
+    from PIL import Image
+
+    from spatialaudiogen_tpu.cli.flow import main
+
+    frames = _moving_blob_frames()
+    for yid in ("vidA", "vidB"):
+        video_dir = tmp_path / "frames" / yid / "video"
+        video_dir.mkdir(parents=True)
+        for i in range(frames.shape[0]):
+            Image.fromarray(frames[i]).save(video_dir / f"{i:06d}.jpg")
+    db = tmp_path / "db.lst"
+    db.write_text("vidA\nvidB\nvidMissing\n")
+
+    main([str(db), "--frames_dir", str(tmp_path / "frames")])
+    assert "2 computed, 1 skipped" in capsys.readouterr().out
+    for yid in ("vidA", "vidB"):
+        assert (tmp_path / "frames" / yid / "flow" / "flow_limits.npy").exists()
+
+    main([str(db), "--frames_dir", str(tmp_path / "frames")])
+    assert "0 computed, 3 skipped" in capsys.readouterr().out

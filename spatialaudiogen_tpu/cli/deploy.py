@@ -27,6 +27,9 @@ def parse_arguments(argv=None):
     parser.add_argument("--overlay_map", action="store_true")
     parser.add_argument("--VR", action="store_true", help="360 video output.")
     parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--n_data", default=1, type=int,
+                        help="Shard each window batch over this many devices "
+                             "(data axis of a ('data','model') mesh).")
     parser.add_argument("--crossfade", action="store_true",
                         help="Hann-blend half-offset passes at window seams.")
     args = parser.parse_args(argv)
@@ -40,7 +43,12 @@ def main(argv=None):
     from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
     from spatialaudiogen_tpu.utils.io_audio import save_wav
 
-    model = MonoToAmbix(args.model_dir, batch_size=args.batch_size)
+    mesh = None
+    if args.n_data > 1:
+        from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data, n_model=1)
+    model = MonoToAmbix(args.model_dir, batch_size=args.batch_size, mesh=mesh)
     print(f"Restored checkpoint step {model.restored_step}")
     print("Generating ambisonics...")
     ambi = model.deploy(args.input_folder, args.deploy_start, args.deploy_duration,

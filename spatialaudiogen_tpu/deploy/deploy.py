@@ -14,7 +14,12 @@ upgrades:
     traffic ~4x (the tunnel hop is 40 ms/transfer on the bench host);
   * optional Hann crossfade between half-offset passes — completing the
     stitching experiment the reference left commented out (deploy.py:163-180)
-    — removes the butt-join seams at window boundaries.
+    — removes the butt-join seams at window boundaries;
+  * **multi-chip window sharding**: pass a ('data', 'model') mesh and each
+    window batch shards across the data axis (windows are embarrassingly
+    parallel, SURVEY §7) — GSPMD partitions the jitted forward, including a
+    cross-device mean for the eval-time batch-statistics BatchNorm quirk, so
+    outputs are identical to the single-chip path.
 """
 
 from __future__ import annotations
@@ -44,11 +49,22 @@ class MonoToAmbix:
     batch_size=10 to reproduce the reference's numbers bit-for-bit.
     """
 
-    def __init__(self, model_dir: str, batch_size: int = 32):
+    def __init__(self, model_dir: str, batch_size: int = 32, mesh=None):
         self.cfg = TrainConfig.load(model_dir)
         self.cfg.model_dir = model_dir
         self.cfg.sample_dur = DEPLOY_DURATION
         self.batch_size = batch_size
+        self.mesh = mesh
+        self._batch_shd = self._rep_shd = None
+        if mesh is not None:
+            from spatialaudiogen_tpu.parallel.mesh import (
+                DATA_AXIS, batch_sharding, replicated)
+
+            n_data = mesh.shape[DATA_AXIS]
+            assert batch_size % n_data == 0, \
+                f"batch_size {batch_size} must divide over data axis {n_data}"
+            self._batch_shd = batch_sharding(mesh)
+            self._rep_shd = replicated(mesh)
         self.model = SptAudioGen(self.cfg.model_config())
         self.geometry = self.cfg.model_config().geometry
 
@@ -65,6 +81,8 @@ class MonoToAmbix:
         self.state, step = restore_checkpoint(model_dir, state)
         assert step is not None, f"no checkpoint in {model_dir}"
         self.restored_step = step
+        if mesh is not None:
+            self.state = jax.device_put(self.state, self._rep_shd)
 
         def fwd(state, audio, video, flow):
             variables = {"params": state.params}
@@ -206,18 +224,21 @@ class MonoToAmbix:
             valid = (np.arange(B) < n).astype(np.float32)
             yield n, span, rel, valid, video_u8, mono
 
-    @staticmethod
-    def _upload_batches(batches):
+    def _upload_batches(self, batches):
         """Second pipeline stage: host->device copies on their own thread.
 
         H2D costs ~40 ms latency + bandwidth per array on the tunnel host;
         staging it between the decode thread and the dispatch loop lets
-        decode, upload, and device compute all overlap.
+        decode, upload, and device compute all overlap. Under a mesh the
+        span replicates and the per-window arrays shard on the data axis
+        (committed shardings steer GSPMD's partitioning of the forward).
         """
         for n, span, rel, valid, video_u8, mono in batches:
-            span, rel, valid = jax.device_put((span, rel, valid))
+            span = jax.device_put(span, self._rep_shd)
+            rel = jax.device_put(rel, self._batch_shd)
+            valid = jax.device_put(valid, self._batch_shd)
             if video_u8 is not None:
-                video_u8 = jax.device_put(video_u8)
+                video_u8 = jax.device_put(video_u8, self._batch_shd)
             yield n, span, rel, valid, video_u8, mono
 
     def _predict_span_ondevice(self, input_folder: str, start: float,
@@ -273,7 +294,12 @@ class MonoToAmbix:
         for n, ambix, video, flow, mono in BackgroundGenerator(
                 self._window_batches(reader), depth=2):
             monos.append(mono)
-            out = self.fwd(self.state, ambix[:, :, :n_in], video, flow)
+            audio = jax.device_put(ambix[:, :, :n_in], self._batch_shd)
+            if video is not None:
+                video = jax.device_put(video, self._batch_shd)
+            if flow is not None:
+                flow = jax.device_put(flow, self._batch_shd)
+            out = self.fwd(self.state, audio, video, flow)
             pending.append((n, out))
             if len(pending) > 1:
                 drain(pending.pop(0))

@@ -86,6 +86,41 @@ def test_ondevice_gather_matches_host_windows_video(trained_video):
     np.testing.assert_allclose(pred_d, pred_h, atol=1e-5)
 
 
+def test_deploy_mesh_sharded_matches_single_chip(trained):
+    """Window batches shard over the mesh data axis (SURVEY §7: deploy is
+    embarrassingly parallel over windows); outputs must equal the
+    single-device path, including the batch-stats BatchNorm cross-device
+    mean and zero-padded tail lanes."""
+    from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+    root, model_dir = trained
+    clip = os.path.join(root, "synth000")
+    single = MonoToAmbix(model_dir, batch_size=4)
+    sharded = MonoToAmbix(model_dir, batch_size=4, mesh=make_mesh(n_data=4, n_model=1))
+    a = single.deploy(clip, 0.5, 1.0)
+    b = sharded.deploy(clip, 0.5, 1.0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # the host-assembly path shards too (flow configs use it)
+    mono_s, pred_s = sharded._predict_span_host(clip, 0.5, 1.0)
+    mono_1, pred_1 = single._predict_span_host(clip, 0.5, 1.0)
+    np.testing.assert_allclose(mono_s, mono_1, atol=1e-6)
+    np.testing.assert_allclose(pred_s, pred_1, atol=1e-5)
+
+
+def test_deploy_mesh_sharded_matches_single_chip_video(trained_video):
+    """Same with the video encoder + unet_mask head and an uneven tail batch
+    (batch 4 over 4 devices, zero-padded lanes land on real devices)."""
+    from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+    root, model_dir = trained_video
+    clip = os.path.join(root, "synth000")
+    single = MonoToAmbix(model_dir, batch_size=4)
+    sharded = MonoToAmbix(model_dir, batch_size=4, mesh=make_mesh(n_data=4, n_model=1))
+    a = single.deploy(clip, 0.5, 1.0)
+    b = sharded.deploy(clip, 0.5, 1.0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_deploy_crossfade_matches_length(trained):
     root, model_dir = trained
     model = MonoToAmbix(model_dir, batch_size=4)

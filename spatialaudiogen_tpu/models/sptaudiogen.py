@@ -106,12 +106,12 @@ class SptAudioGenConfig:
         assert self.separation in (NO_SEPARATION, FREQ_MASK)
         if set(self.encoders) & {VIDEO, FLOW}:
             vid_dur = self.sample_duration * self.video_rate
-            assert vid_dur == 1, (
-                f"visual encoders require sample_duration*video_rate == 1 "
-                f"(got {vid_dur}): the bottleneck folds the single video "
-                f"frame into the batch axis, inheriting the reference's "
-                f"vid_dur==1 assumption (model.py:216-232); longer windows "
-                f"would silently mis-batch the video features")
+            assert vid_dur >= 1 and vid_dur == int(vid_dur), (
+                f"visual encoders require sample_duration*video_rate to be a "
+                f"positive integer (got {vid_dur}). The reference only "
+                f"supports ==1 (model.py:216-232 would mis-batch more); here "
+                f"the bottleneck aligns each frame to its audio steps, so "
+                f"any integer works if the audio feature steps divide by it")
 
     @property
     def geometry(self) -> ModelGeometry:
@@ -140,17 +140,25 @@ class AudioEncoder(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """Per-modality FC reduction + fusion concat (model.py:203-239)."""
+    """Per-modality FC reduction + fusion concat (model.py:203-239).
+
+    Generalizes the reference's implicit vid_dur==1 assumption
+    (model.py:216-232 would silently mis-batch multi-frame windows): visual
+    features arrive time-folded as (B*vid_t, h, w, c); each frame is reduced
+    independently and its 512-d embedding repeated over the audio time steps
+    it covers (nearest-frame alignment). For vid_t == 1 this is exactly the
+    reference's tile — bit-identical params and outputs.
+    """
 
     cfg: SptAudioGenConfig
 
     @nn.compact
-    def __call__(self, enc: dict, use_audio: bool):
+    def __call__(self, enc: dict, use_audio: bool, vid_t: int = 1):
         parts = []
         if use_audio and AUDIO in enc:
             audio_t = enc[AUDIO].shape[1]
         else:
-            audio_t = 1  # graceful generalization; reference requires audio
+            audio_t = vid_t  # graceful generalization; reference requires audio
         for k in (AUDIO, VIDEO, FLOW):
             if k == AUDIO and not use_audio:
                 continue
@@ -159,10 +167,14 @@ class Bottleneck(nn.Module):
             x = enc[k]
             if k != AUDIO:
                 x = dense(x, 128, name=f"{k}-fc-red", activation=nn.relu, dtype=self.cfg.dtype)
-                b = x.shape[0]
-                x = x.reshape(b, 1, -1)
+                bt = x.shape[0]
+                assert bt % vid_t == 0, (bt, vid_t)
+                x = x.reshape(bt // vid_t, vid_t, -1)
                 x = dense(x, 512, name=f"{k}-fc", activation=nn.relu, dtype=self.cfg.dtype)
-                x = jnp.tile(x, (1, audio_t, 1))
+                assert audio_t % vid_t == 0, (
+                    f"audio feature steps ({audio_t}) must be a multiple of "
+                    f"video frames per window ({vid_t}) to align modalities")
+                x = jnp.repeat(x, audio_t // vid_t, axis=1)
             else:
                 b, t = x.shape[:2]
                 x = x.reshape(b, t, -1)
@@ -226,12 +238,20 @@ class SeparationUNet(nn.Module):
                 break
             x = jnp.concatenate([nn.relu(x), audio_acts[layer]], axis=3)
 
+        # Sigmoid is always evaluated in f32; in the bf16 fast mode the mask
+        # is *stored* bf16, halving the mask-tensor traffic through the
+        # layout transpose below and through the backward pass. (The
+        # NHWC->track-major transpose itself is unavoidable: XLA re-
+        # canonicalizes both elementwise reorderings and NCHW-output deconvs
+        # back to this same slice/copy pattern — measured identical 29.84 ms
+        # batch-128 forwards for all three formulations; see PERF.md.)
+        mask_dtype = jnp.float32 if cfg.dtype is None else cfg.dtype
+        x = nn.sigmoid(x.astype(jnp.float32)).astype(mask_dtype)
         # mask crop in (narrowed) deconv-output frame coords (model.py:313-324)
         x = x[:, g.narrowed_deconv_ss: g.narrowed_deconv_ss + g.n_mask_frames]
         x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
         b = x.shape[0]
-        x = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
-        mask = nn.sigmoid(x.astype(jnp.float32))
+        mask = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
         # tap for the numpy parity oracle (tests/test_reference_oracle.py):
         # apply(..., mutable=["intermediates"]) recovers the learned mask
         self.sow("intermediates", "mask", mask)
@@ -303,7 +323,7 @@ class SptAudioGen(nn.Module):
 
         feats = Bottleneck(cfg, name="bottleneck")(
             {k: (v[-1] if k == AUDIO else v) for k, v in enc.items()},
-            use_audio=AUDIO in cfg.encoders)
+            use_audio=AUDIO in cfg.encoders, vid_t=g.vid_dur)
         ends["bottleneck"] = feats
 
         weights, biases = LocalizationHead(cfg, name="localization")(feats)

@@ -167,7 +167,9 @@ def _bwd_kernel(g_ref, re_ref, im_ref, mask_ref, c_ref, s_ref,
     re = re_ref[0][None]
     im = im_ref[0][None]
     m = mask_ref[0]
-    gmask_ref[0] = g_rm * re + g_imm * im
+    # mask (and so its cotangent) may be bf16 in the fast mode; the product
+    # is accumulated in f32 and cast on store
+    gmask_ref[0] = (g_rm * re + g_imm * im).astype(gmask_ref.dtype)
     part_re = jnp.sum(g_rm * m, axis=0)
     part_im = jnp.sum(g_imm * m, axis=0)
 
@@ -233,7 +235,7 @@ def _backward_pallas(re, im, mask, g, n_overlap, interpret, precision="highest")
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b * n_in, tracks_p, t, f), jnp.float32),
+            jax.ShapeDtypeStruct((b * n_in, tracks_p, t, f), mask.dtype),
             jax.ShapeDtypeStruct((b * n_in, t, f), jnp.float32),
             jax.ShapeDtypeStruct((b * n_in, t, f), jnp.float32),
         ),
@@ -280,7 +282,7 @@ def _bwd_xla(n_overlap, residuals, g):
     # x = (re*m) @ C + (im*m) @ S  (per track)
     g_rm = jnp.matmul(gx, c.T, precision="highest")      # dL/d(re*m)
     g_im = jnp.matmul(gx, s.T, precision="highest")      # dL/d(im*m)
-    g_mask = g_rm * re[:, :, None] + g_im * im[:, :, None]
+    g_mask = (g_rm * re[:, :, None] + g_im * im[:, :, None]).astype(mask.dtype)
     g_re = jnp.sum(g_rm * mask, axis=2)
     g_im_out = jnp.sum(g_im * mask, axis=2)
     return g_re, g_im_out, g_mask

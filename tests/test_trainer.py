@@ -95,15 +95,43 @@ def test_staircase_lr_boundary_changes_update_scale():
 
 
 def test_visual_encoder_vid_dur_guard():
-    """sample_duration * video_rate != 1 with a visual encoder must fail
-    loudly instead of silently mis-batching (reference model.py:216-232)."""
+    """Non-integer sample_duration * video_rate with a visual encoder must
+    fail loudly; integers >= 1 are supported (the reference only allows ==1,
+    model.py:216-232 would silently mis-batch more)."""
     from spatialaudiogen_tpu.models import SptAudioGenConfig
 
-    with pytest.raises(AssertionError, match="vid_dur"):
-        SptAudioGenConfig(encoders=("audio", "video"), sample_duration=0.2)
+    with pytest.raises(AssertionError, match="integer"):
+        SptAudioGenConfig(encoders=("audio", "video"), sample_duration=0.15)
     # audio-only configs stay free to change the window
     cfg = SptAudioGenConfig(encoders=("audio",), sample_duration=0.2)
     assert cfg.geometry.snd_dur == 9600
+
+
+def test_multi_frame_window_forward():
+    """vid_dur=2 (sample_duration=0.2): per-frame video embeddings align to
+    their audio steps instead of mis-batching. Batch-equivariance catches
+    any cross-window feature mixing in the fold/unfold reshapes."""
+    import numpy as np
+
+    import jax
+
+    from spatialaudiogen_tpu.models import SptAudioGen, SptAudioGenConfig
+
+    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask",
+                            sample_duration=0.2, sep_num_tracks=2)
+    g = cfg.geometry
+    assert g.vid_dur == 2
+    model = SptAudioGen(cfg)
+    rng = np.random.RandomState(0)
+    audio = rng.randn(2, g.snd_size, 1).astype(np.float32) * 0.1
+    video = rng.rand(2, g.vid_dur, 64, 128, 3).astype(np.float32) - 0.5
+    vs = model.init(jax.random.PRNGKey(0), audio, video, train=False)
+    out = np.asarray(model.apply(vs, audio, video, train=False))
+    assert out.shape == (2, g.snd_dur, 3)
+    assert np.isfinite(out).all()
+    out_p = np.asarray(model.apply(vs, audio[::-1].copy(), video[::-1].copy(),
+                                   train=False))
+    np.testing.assert_allclose(out[::-1], out_p, atol=1e-5)
 
 
 def test_bf16_fast_mode_trains(db, tmp_path):

@@ -19,7 +19,8 @@ upgrades:
     window batch shards across the data axis (windows are embarrassingly
     parallel, SURVEY §7) — GSPMD partitions the jitted forward, including a
     cross-device mean for the eval-time batch-statistics BatchNorm quirk, so
-    outputs are identical to the single-chip path.
+    outputs match the single-chip path to float tolerance (the all-reduce
+    reorders the moment sums; measured ~4e-6 max abs difference).
 """
 
 from __future__ import annotations

@@ -106,6 +106,9 @@ class SptAudioGenConfig:
         assert self.separation in (NO_SEPARATION, FREQ_MASK)
         if set(self.encoders) & {VIDEO, FLOW}:
             vid_dur = self.sample_duration * self.video_rate
+            # tolerance-based integer check: 0.07 * 100 != 7.0 exactly
+            vid_dur = round(vid_dur) if abs(vid_dur - round(vid_dur)) < 1e-6 \
+                else vid_dur
             assert vid_dur >= 1 and vid_dur == int(vid_dur), (
                 f"visual encoders require sample_duration*video_rate to be a "
                 f"positive integer (got {vid_dur}). The reference only "

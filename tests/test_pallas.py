@@ -42,3 +42,30 @@ def test_kernel_gradients_match_reference():
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
                                    rtol=1e-3)
+
+
+def test_kernel_bf16_mask_forward_and_gradients():
+    """The bf16 fast mode stores the mask bf16: the kernel must accept it,
+    return an f32 waveform, and emit a bf16 mask cotangent matching the XLA
+    formulation (custom_vjp requires cotangent dtype == primal dtype)."""
+    re, im, mask = _inputs(b=1, tracks=2, wind=128, seed=2)
+    mask16 = mask.astype(jnp.bfloat16)
+
+    out = masked_istft_pallas(re, im, mask16, 4, True)
+    assert out.dtype == jnp.float32
+    ref = np.asarray(masked_istft_reference(re, im, mask16.astype(jnp.float32), 4))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+
+    def loss_k(r, i, m):
+        return jnp.sum(masked_istft_pallas(r, i, m, 4, True) ** 2)
+
+    def loss_r(r, i, m):
+        return jnp.sum(masked_istft_reference(r, i, m.astype(jnp.float32), 4) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(re, im, mask16)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(re, im, mask16)
+    assert gk[2].dtype == jnp.bfloat16
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=5e-2, rtol=5e-2)

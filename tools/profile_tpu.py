@@ -82,19 +82,30 @@ def parse_trace(trace_dir: str, top: int = 30):
     with gzip.open(fn, "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device op lanes: pid/tid whose thread name mentions XLA Ops / TensorFlow Ops
+    # device op lanes: pid/tid whose thread name mentions XLA Ops. Restrict
+    # to ONE device (the first pid with such a lane) so multi-chip hosts
+    # don't inflate the total N-fold across replicas.
     lane_names = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             lane_names[(e.get("pid"), e.get("tid"))] = e["args"].get("name", "")
+    op_pids = sorted({pid for (pid, _), name in lane_names.items()
+                      if "XLA Ops" in name})
+    assert op_pids, ("no 'XLA Ops' lane in the trace — device events missing "
+                     "or the plugin names lanes differently; refusing to "
+                     "report a bogus 0 ms")
+    if len(op_pids) > 1:
+        print(f"note: {len(op_pids)} device lanes in trace; "
+              f"reporting pid {op_pids[0]} only")
     by_op = defaultdict(float)
     count = defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
             continue
-        lane = lane_names.get((e.get("pid"), e.get("tid")), "")
-        if "XLA Ops" not in lane:
+        if e.get("pid") != op_pids[0]:
+            continue
+        if "XLA Ops" not in lane_names.get((e.get("pid"), e.get("tid")), ""):
             continue
         dur = e.get("dur", 0) / 1e3  # us -> ms
         name = e.get("name", "?")

@@ -42,6 +42,9 @@ def main(argv=None):
     args = parse_arguments(argv)
     from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
     from spatialaudiogen_tpu.utils.io_audio import save_wav
+    from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
 
     mesh = None
     if args.n_data > 1:

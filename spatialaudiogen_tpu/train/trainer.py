@@ -10,6 +10,7 @@ over a jax.sharding.Mesh.
 from __future__ import annotations
 
 import math
+import signal
 import time
 
 import jax
@@ -82,17 +83,37 @@ class Trainer:
             batch["flow"] = np.zeros((b, g.vid_dur) + hw + (3,), np.float32)
         return batch
 
+    def request_stop(self):
+        """Ask the loop to stop at the next step boundary (checkpoint still
+        saved by the exit path). Called by the SIGTERM handler; safe to call
+        from any thread."""
+        self._stop_requested = True
+
     def train(self):
         cfg = self.cfg
         bshard = batch_sharding(self.mesh)
         self.feeder.start()
         state = self.state
         step = self.init_step
+        # Preemption safety: TPU workers get SIGTERM'ed (maintenance,
+        # autoscaling). Stop at the next step boundary so the finally-block
+        # checkpoint runs instead of dying mid-step with no save. The
+        # reference's analogue only caught python exceptions (train.py:227).
+        self._stop_requested = False
+        prev_handler = None
+        try:
+            prev_handler = signal.signal(
+                signal.SIGTERM,
+                lambda signum, frame: (
+                    print("SIGTERM: stopping at step boundary, will checkpoint"),
+                    self.request_stop()))
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            prev_handler = None
         try:
             stream = device_prefetch(self.feeder.batches(), sharding=bshard)
             t_prev = time.perf_counter()
             for dev_batch, _ in stream:
-                if step >= cfg.n_iters:
+                if step >= cfg.n_iters or self._stop_requested:
                     break
                 state, metrics = self.step_fn(state, dev_batch)
                 if step % cfg.log_every == 0:
@@ -122,4 +143,6 @@ class Trainer:
             self.state = state
             self.feeder.stop()
             self.logger.close()
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         return state, step

@@ -152,3 +152,51 @@ def test_bf16_fast_mode_trains(db, tmp_path):
     assert all(l.dtype == jnp.float32 for l in leaves)  # f32 master weights
     loaded = TrainConfig.load(model_dir)
     assert loaded.compute_dtype == "bfloat16"
+
+
+def test_sigterm_checkpoints_and_exits_cleanly(db, tmp_path):
+    """Preemption safety: SIGTERM mid-training stops at the next step
+    boundary and still writes a checkpoint (TPU workers get SIGTERM'ed;
+    the reference only caught python exceptions, train.py:227)."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    model_dir = str(tmp_path / "sigterm_model")
+    code = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from spatialaudiogen_tpu.config import TrainConfig
+from spatialaudiogen_tpu.train.trainer import Trainer
+cfg = TrainConfig(db_dir={db!r}, model_dir={model_dir!r}, encoders=("audio",),
+                  separation="none", n_iters=100000, batch_size=2, n_workers=1,
+                  log_every=1, ckpt_every=0, n_data=1)
+print("TRAINER_READY", flush=True)
+Trainer(cfg).train()
+print("TRAINER_EXITED_CLEANLY", flush=True)
+"""
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    try:
+        # wait until some steps have run (first TRAIN log line), then SIGTERM
+        deadline = _time.time() + 300
+        lines = []
+        for line in proc.stdout:
+            lines.append(line)
+            if "total_loss" in line:
+                break
+            assert _time.time() < deadline, "".join(lines)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+        lines.append(out)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    full = "".join(lines)
+    assert proc.returncode == 0, full
+    assert "TRAINER_EXITED_CLEANLY" in full, full
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(model_dir, "checkpoints")), full

@@ -51,6 +51,10 @@ def parse_arguments(argv=None):
     parser.add_argument("--bf16", action="store_true",
                         help="run the conv/FC stacks in bfloat16 (f32 master "
                              "weights, f32 DFT/loss/Adam) — the fast mode")
+    parser.add_argument("--pretrained_resnet", default=None,
+                        help="resnet18.npy (flat TF var-name dict) applied to "
+                             "each visual encoder at train start — the "
+                             "reference's ImageNet restore (resnet.py:238)")
     args = parser.parse_args(argv)
     if len(args.subset_fn) == 0:
         args.subset_fn = None
@@ -84,7 +88,8 @@ def main(argv=None):
         n_workers=args.n_workers, log_every=args.log_every,
         ckpt_every=args.ckpt_every, seed=args.seed,
         frame_hw=tuple(args.frame_hw), n_data=args.n_data, n_model=args.n_model,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        pretrained_resnet=args.pretrained_resnet)
 
     print("=" * 30 + " ARGUMENTS " + "=" * 30)
     for k, v in vars(args).items():

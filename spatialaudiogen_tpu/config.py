@@ -58,6 +58,11 @@ class TrainConfig:
     # Pallas masked-iDFT matmul precision ("default" = 53 dB SNR vs exact,
     # ~1.4x faster forward; "highest" = ~1e-7; models.sptaudiogen).
     pallas_precision: str = "default"
+    # ImageNet-pretrained ResNet18 weights (a reference-style resnet18.npy
+    # flat TF var-name dict) applied to each visual encoder at train start
+    # — the reference's restore_pretrained init (model.py:198,
+    # resnet.py:238-249).
+    pretrained_resnet: str | None = None
 
     def model_config(self) -> SptAudioGenConfig:
         num_sep = self.num_sep_tracks if self.separation == FREQ_MASK else 1

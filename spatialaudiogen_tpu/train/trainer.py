@@ -58,6 +58,8 @@ class Trainer:
         example = self._example_batch()
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),
                                    example)
+        if cfg.pretrained_resnet and not cfg.resume:
+            state = self._load_pretrained_visual(state, cfg.pretrained_resnet)
         self.step_fn, self.state_shardings = jit_sharded(
             make_train_step(self.model, self.tx, cfg.weight_decay),
             state, self.tx, self.mesh)
@@ -70,6 +72,27 @@ class Trainer:
                 print(f"Restored checkpoint at step {step}")
         self.state = state
         self.logger = MetricLogger(cfg.model_dir)
+
+    def _load_pretrained_visual(self, state, npy_path: str):
+        """Initialize each visual encoder from a reference-style resnet18.npy
+        (restore_pretrained parity, model.py:198 / resnet.py:238-249). The
+        npy's flat TF var names are prefixed with the encoder scope so the
+        same ImageNet weights land in both video_encoder and flow_encoder."""
+        from spatialaudiogen_tpu.models.resnet import load_npy_weights
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        for enc in ("video", "flow"):
+            if enc not in self.cfg.encoders:
+                continue
+            variables, unmatched = load_npy_weights(
+                npy_path, variables, prefix=f"{enc}_encoder")
+            print(f"Initialized {enc}_encoder from {npy_path} "
+                  f"({len(unmatched)} npy entries unmatched)")
+        return state.replace(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", state.batch_stats))
 
     def _example_batch(self) -> dict:
         g = self.cfg.model_config().geometry

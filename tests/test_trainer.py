@@ -200,3 +200,38 @@ print("TRAINER_EXITED_CLEANLY", flush=True)
     import os as _os
 
     assert _os.path.exists(_os.path.join(model_dir, "checkpoints")), full
+
+
+def test_pretrained_resnet_init(db, tmp_path):
+    """--pretrained_resnet applies a reference-style resnet18.npy to the
+    visual encoder at train start (restore_pretrained parity, model.py:198):
+    video_encoder params take the npy values, the rest keep fresh init."""
+    import numpy as np
+
+    from spatialaudiogen_tpu.models.convert import to_tf_var_dict
+
+    model_dir = str(tmp_path / "pre_model")
+    cfg = _cfg(db, model_dir, encoders=("audio", "video"), n_iters=0,
+               batch_size=2, frame_hw=(64, 128))
+    trainer = Trainer(cfg)  # fresh init, no pretrained
+    variables = {"params": trainer.state.params["video_encoder"],
+                 "batch_stats": trainer.state.batch_stats["video_encoder"]}
+    tf_vars = to_tf_var_dict(variables)
+    rng = np.random.RandomState(0)
+    blob = {k: np.asarray(v) + rng.randn(*np.shape(v)).astype(np.float32)
+            for k, v in tf_vars.items()}
+    npy_path = str(tmp_path / "resnet18.npy")
+    np.save(npy_path, blob, allow_pickle=True)
+
+    cfg2 = _cfg(db, str(tmp_path / "pre_model2"), encoders=("audio", "video"),
+                n_iters=0, batch_size=2, frame_hw=(64, 128),
+                pretrained_resnet=npy_path)
+    trainer2 = Trainer(cfg2)
+    got = trainer2.state.params["video_encoder"]["conv1"]["conv"]["kernel"]
+    want = blob["conv1/weights"]
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    # non-visual params keep their fresh init (same seed => same values)
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.params["audio_encoder"]["conv1"]["conv"]["kernel"]),
+        np.asarray(trainer.state.params["audio_encoder"]["conv1"]["conv"]["kernel"]),
+        atol=0)

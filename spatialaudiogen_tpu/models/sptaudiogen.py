@@ -92,6 +92,15 @@ class SptAudioGenConfig:
     # faster than the XLA formulation on v5e. 'auto' uses it on TPU backends
     # and the XLA path elsewhere; 'on'/'off' force it.
     use_pallas: str = "auto"
+    # Feed the mask to the Pallas kernel in its deconv-native NHWC layout
+    # (mono input only): the NHWC->track-major relayout then happens on VMEM
+    # blocks in-kernel instead of as the model-graph layout-copy chain.
+    # Measured SLOWER on v5e (mask-chain+ISTFT 23.4 ms vs 7.8 ms at batch
+    # 128, f32): Mosaic's lane<->sublane transposes of (T*FB, 32) blocks
+    # cost ~2x the whole XLA relayout chain they replace, and the f-chunked
+    # contraction fragments the iDFT matmuls (K=128/pass). Kept for parts
+    # where XLA's copy is the bottleneck; see PERF.md.
+    pallas_nhwc: bool = False
     # Rematerialize the encoder/separation activations in the backward pass
     # (jax.checkpoint via nn.remat) — trades ~1/3 extra forward FLOPs for the
     # U-Net's large intermediates, enabling bigger per-chip batches.
@@ -252,8 +261,26 @@ class SeparationUNet(nn.Module):
         x = nn.sigmoid(x.astype(jnp.float32)).astype(mask_dtype)
         # mask crop in (narrowed) deconv-output frame coords (model.py:313-324)
         x = x[:, g.narrowed_deconv_ss: g.narrowed_deconv_ss + g.n_mask_frames]
-        x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
         b = x.shape[0]
+
+        pallas_on = _pallas_enabled(cfg.use_pallas) and not cfg.hermitian_dft
+        if pallas_on and cfg.pallas_nhwc and n_in == 1:
+            # NHWC fast path: skip the track-major relayout entirely; the
+            # kernel transposes VMEM-resident blocks in-kernel. The oracle
+            # tap still sows the track-major view (DCE'd unless the
+            # 'intermediates' collection is mutable).
+            from spatialaudiogen_tpu.ops.pallas_kernels import (
+                masked_istft_nhwc_pallas,
+            )
+
+            self.sow("intermediates", "mask",
+                     x.transpose(0, 3, 1, 2)
+                     .reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size))
+            x_sep = masked_istft_nhwc_pallas(stft_re[:, 0], stft_im[:, 0], x,
+                                             4, False, cfg.pallas_precision)
+            return x_sep[:, None, :, g.out_ss: g.out_tt]
+
+        x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
         mask = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
         # tap for the numpy parity oracle (tests/test_reference_oracle.py):
         # apply(..., mutable=["intermediates"]) recovers the learned mask
@@ -264,7 +291,7 @@ class SeparationUNet(nn.Module):
             x_sep = istft_from_masked_hermitian(
                 stft_re[:, :, None], stft_im[:, :, None], mask, 4,
                 n_freqs=g.wind_size, precision=cfg.dft_precision)
-        elif _pallas_enabled(cfg.use_pallas):
+        elif pallas_on:
             from spatialaudiogen_tpu.ops.pallas_kernels import masked_istft_pallas
 
             x_sep = masked_istft_pallas(stft_re, stft_im, mask, 4, False,

@@ -295,3 +295,136 @@ def masked_istft_reference(re, im, mask, n_overlap: int = 4):
     """XLA reference for the kernel (same signature/output)."""
     return istft_real(re[:, :, None] * mask, im[:, :, None] * mask, n_overlap,
                       precision="highest")
+
+
+# ---------------------------------------------------------------------------
+# NHWC-mask variant: consumes the separation mask in the deconv's native
+# (B, T, F, C) layout, so the model's frame-crop + NHWC->track-major layout
+# copy (5.3 ms of the 29.8 ms batch-128 forward, PERF.md) never materializes.
+# The transpose happens in-kernel on VMEM-resident blocks instead; the iDFT
+# contraction is chunked over the frequency axis (grid axis k revisits the
+# output block), so only (FB, F) basis slabs and (T, FB, C) mask blocks are
+# resident.
+#
+# MEASURED RESULT (v5e, batch 128, f32): 23.4 ms vs 7.8 ms for the XLA
+# chain + track-major kernel — the in-kernel (T*FB, C) lane<->sublane
+# transposes cost ~2x the whole HBM relayout they replace, and K=128
+# f-chunked matmuls fragment MXU passes. Default OFF
+# (SptAudioGenConfig.pallas_nhwc); kept correct + tested for hardware where
+# the XLA copy, not the transpose unit, is the bottleneck.
+# ---------------------------------------------------------------------------
+
+
+def _nhwc_kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *,
+                 n_overlap: int, n_freqs: int, n_chunks: int, precision):
+    t, fb, ch = mask_ref.shape[1:]
+    k = pl.program_id(1)
+
+    m = mask_ref[0]                                     # (T, FB, C)
+    em_re = m * re_ref[0][:, :, None]
+    em_im = m * im_ref[0][:, :, None]
+    # track-major rows via one 2D lane<->sublane transpose:
+    # (T*FB, C) -> (C, T*FB) -> (C*T, FB)
+    rm = em_re.reshape(t * fb, ch).T.reshape(ch * t, fb)
+    imm = em_im.reshape(t * fb, ch).T.reshape(ch * t, fb)
+    part = (jnp.dot(rm, c_ref[...], preferred_element_type=jnp.float32,
+                    precision=precision)
+            + jnp.dot(imm, s_ref[...], preferred_element_type=jnp.float32,
+                      precision=precision)) / n_freqs
+
+    # Overlap-add is linear, so each freq-chunk's partial synthesis is
+    # comb-summed immediately and accumulated into the revisited output
+    # block — no (C*T, F) accumulator lives in VMEM (that put the block
+    # set 432K over the 16M scoped-vmem stack limit at batch 128).
+    hop = n_freqs // n_overlap
+    n_winds = t // n_overlap
+    out_len = n_winds * n_freqs - (n_overlap - 1) * hop
+    x = part.reshape(ch, n_winds, n_overlap, n_freqs)
+    acc = jnp.zeros((ch, out_len), jnp.float32)
+    for j in range(n_overlap):
+        stream = x[:, :, j, :].reshape(ch, n_winds * n_freqs)
+        start = (n_overlap - 1 - j) * hop
+        acc = acc + stream[:, start: start + out_len]
+    acc = acc / float(n_overlap)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[0] = acc
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + acc
+
+
+def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
+    b, t, f = re.shape
+    ch = mask_nhwc.shape[-1]
+    pad = (-ch) % 8                                     # sublane-legal output
+    if pad:
+        mask_nhwc = jnp.concatenate(
+            [mask_nhwc,
+         jnp.zeros(mask_nhwc.shape[:-1] + (pad,), mask_nhwc.dtype)], axis=-1)
+    ch_p = ch + pad
+    hop = f // n_overlap
+    n_winds = t // n_overlap
+    out_len = n_winds * f - (n_overlap - 1) * hop
+    c, s = _basis(f)
+    fb = min(128, f)  # lane-dim blocks must be 128-divisible (Mosaic rule)
+    assert f % fb == 0
+    n_chunks = f // fb
+
+    out = pl.pallas_call(
+        functools.partial(_nhwc_kernel, n_overlap=n_overlap, n_freqs=f,
+                          n_chunks=n_chunks, precision=_to_precision(precision)),
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, t, fb), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, fb), lambda i, k: (i, 0, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, fb, ch_p), lambda i, k: (i, 0, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, f), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fb, f), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ch_p, out_len), lambda i, k: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ch_p, out_len), jnp.float32),
+        interpret=interpret,
+    )(re, im, mask_nhwc, jnp.asarray(c), jnp.asarray(s))
+    return out[:, :ch]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def masked_istft_nhwc_pallas(re, im, mask_nhwc, n_overlap: int = 4,
+                             interpret: bool = False, precision="default"):
+    """Fused masked comb-ISTFT over an NHWC (deconv-native) mask.
+
+    re, im: (B, T, F) real/imag spectra of the single input channel;
+    mask_nhwc: (B, T, F, C) sigmoid mask, C = tracks. Returns
+    (B, C, out_len) separated track waveforms — numerically identical to
+    masked_istft_pallas on the transposed mask, without the layout copy.
+    """
+    return _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision)
+
+
+def _nhwc_fwd(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
+    return (_nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision),
+            (re, im, mask_nhwc))
+
+
+def _nhwc_bwd(n_overlap, interpret, precision, residuals, g):
+    """Backward via the track-major fused kernel: transposing the mask and
+    its cotangent here re-introduces layout copies in *training* only — the
+    forward-only deploy path keeps the full win. (A native-NHWC backward
+    kernel needs either double VMEM for gx or a recompute; deferred.)"""
+    re, im, mask_nhwc = residuals
+    mask_tm = mask_nhwc.transpose(0, 3, 1, 2)[:, None]  # (B, 1, C, T, F)
+    g_re, g_im, g_mask = _backward_pallas(
+        re[:, None], im[:, None], mask_tm, g[:, None], n_overlap, interpret,
+        precision)
+    return (g_re[:, 0], g_im[:, 0],
+            g_mask[:, 0].transpose(0, 2, 3, 1).astype(mask_nhwc.dtype))
+
+
+masked_istft_nhwc_pallas.defvjp(_nhwc_fwd, _nhwc_bwd)

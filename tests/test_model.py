@@ -135,3 +135,37 @@ def test_decoder_linear_synthesis():
     s = np.asarray(ends["separation"])             # (1,1,4,T)
     manual = (w * s.transpose(0, 3, 1, 2)[:, :, None, :, :]).sum((3, 4)) + b[..., 0]
     np.testing.assert_allclose(np.asarray(out), manual, atol=1e-4, rtol=1e-4)
+
+
+def test_nhwc_pallas_path_matches_xla(monkeypatch):
+    """The NHWC-mask Pallas path (pallas_nhwc, mono input) must produce the
+    same model output and sow the same oracle mask tap as the XLA path.
+    Pallas runs in interpret mode here (CPU test host)."""
+    import spatialaudiogen_tpu.models.sptaudiogen as M
+    import spatialaudiogen_tpu.ops.pallas_kernels as K
+
+    monkeypatch.setattr(M, "_pallas_enabled", lambda mode: mode != "off")
+    orig = K.masked_istft_nhwc_pallas
+    monkeypatch.setattr(
+        K, "masked_istft_nhwc_pallas",
+        lambda re, im, m, n, _i, _p: orig(re, im, m, n, True, "highest"))
+
+    cfg_xla = SptAudioGenConfig(encoders=("audio",), separation="unet_mask",
+                                use_pallas="off")
+    cfg_nhwc = SptAudioGenConfig(encoders=("audio",), separation="unet_mask",
+                                 use_pallas="on", pallas_nhwc=True)
+    g = cfg_xla.geometry
+    rng = np.random.RandomState(3)
+    audio = jnp.asarray(rng.randn(1, g.snd_size, 1), jnp.float32)
+    model_x = SptAudioGen(cfg_xla)
+    variables = model_x.init(jax.random.PRNGKey(0), audio, train=False)
+    out_x, state_x = model_x.apply(variables, audio, train=False,
+                                   mutable=["intermediates"])
+    out_n, state_n = SptAudioGen(cfg_nhwc).apply(variables, audio, train=False,
+                                                 mutable=["intermediates"])
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_x),
+                               atol=2e-4, rtol=1e-4)
+    mask_x = np.asarray(state_x["intermediates"]["separation"]["mask"][0])
+    mask_n = np.asarray(state_n["intermediates"]["separation"]["mask"][0])
+    assert mask_n.shape == mask_x.shape
+    np.testing.assert_allclose(mask_n, mask_x, atol=1e-6)

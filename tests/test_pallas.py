@@ -6,6 +6,7 @@ import numpy as np
 
 from spatialaudiogen_tpu.ops.dft import stft_real
 from spatialaudiogen_tpu.ops.pallas_kernels import (
+    masked_istft_nhwc_pallas,
     masked_istft_pallas,
     masked_istft_reference,
 )
@@ -42,6 +43,51 @@ def test_kernel_gradients_match_reference():
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
                                    rtol=1e-3)
+
+
+def test_nhwc_kernel_matches_reference():
+    """The NHWC-mask kernel (in-kernel transpose, f-chunked accumulation)
+    must match the track-major kernel/reference bit-for-tolerance."""
+    re, im, mask = _inputs(tracks=12, wind=256)
+    ref = np.asarray(masked_istft_reference(re, im, mask, 4))[:, 0]
+    mask_nhwc = jnp.asarray(mask)[:, 0].transpose(0, 2, 3, 1)  # (B, T, F, C)
+    got = np.asarray(masked_istft_nhwc_pallas(re[:, 0], im[:, 0], mask_nhwc,
+                                              4, True))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_nhwc_kernel_gradients_match_reference():
+    re, im, mask = _inputs(b=1, tracks=2, wind=128, seed=1)
+    mask_nhwc = mask[:, 0].transpose(0, 2, 3, 1)
+
+    def loss_k(r, i, m):
+        return jnp.sum(masked_istft_nhwc_pallas(r, i, m, 4, True) ** 2)
+
+    def loss_r(r, i, m):
+        return jnp.sum(
+            masked_istft_reference(r[:, None], i[:, None],
+                                   m.transpose(0, 3, 1, 2)[:, None], 4) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(re[:, 0], im[:, 0], mask_nhwc)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(re[:, 0], im[:, 0], mask_nhwc)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-3,
+                                   rtol=1e-3)
+
+
+def test_nhwc_kernel_bf16_mask():
+    re, im, mask = _inputs(b=1, tracks=2, wind=128, seed=2)
+    mask16 = jnp.asarray(mask[:, 0].transpose(0, 2, 3, 1)).astype(jnp.bfloat16)
+    out = masked_istft_nhwc_pallas(re[:, 0], im[:, 0], mask16, 4, True)
+    assert out.dtype == jnp.float32
+    ref = np.asarray(masked_istft_reference(
+        re, im, jnp.asarray(mask16.transpose(0, 3, 1, 2)[:, None],
+                            jnp.float32), 4))[:, 0]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2, rtol=2e-2)
+    g = jax.grad(lambda m: jnp.sum(
+        masked_istft_nhwc_pallas(re[:, 0], im[:, 0], m, 4, True) ** 2))(mask16)
+    assert g.dtype == jnp.bfloat16
 
 
 def test_kernel_bf16_mask_forward_and_gradients():

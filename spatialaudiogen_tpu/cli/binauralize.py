@@ -29,6 +29,11 @@ def main(argv=None):
                         help="Binauralize point sources from a position file instead.")
     parser.add_argument("--base_dir", default=None)
     parser.add_argument("--rate", type=int, default=None)
+    parser.add_argument("--xyz", nargs=3, type=float, default=None,
+                        metavar=("X", "Y", "Z"),
+                        help="binauralize INPUT_WAV (mono) as a point source "
+                             "at this fixed cartesian position (reference "
+                             "binauralize_sources_xyz.py:9-19)")
     args = parser.parse_args(argv)
 
     from spatialaudiogen_tpu.ambisonics.binauralizer import (
@@ -40,7 +45,18 @@ def main(argv=None):
     from spatialaudiogen_tpu.ambisonics.position import MovingSource, PositionalSource
     from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
 
-    if args.position_fn:
+    if args.xyz is not None:
+        from spatialaudiogen_tpu.ambisonics.position import Position
+
+        mono, rate = load_wav(args.input_fn, args.rate)
+        if mono.ndim == 2:
+            mono = mono[:, 0]
+        binauralizer = SourceBinauralizer(use_hrtfs=args.use_hrtfs,
+                                          cipic_dir=args.cipic_dir)
+        stereo = binauralizer.binauralize(
+            [PositionalSource(mono, Position(*args.xyz, "cartesian"),
+                              int(rate))])
+    elif args.position_fn:
         from spatialaudiogen_tpu.utils.io_position import read_position_file
 
         mono, rate = load_wav(args.input_fn, args.rate)

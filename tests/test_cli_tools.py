@@ -89,3 +89,31 @@ def test_enable_compile_cache(tmp_path, monkeypatch):
     assert used == target
     assert os.path.isdir(target)
     assert jax.config.jax_compilation_cache_dir == target
+
+
+def test_xyz_cli_modes(scene):
+    """--xyz fixed-cartesian one-shots (reference *_xyz.py scripts): encode
+    places the source correctly (pure +Y position => W and Y carry the
+    signal, X and Z stay ~0), and both binauralize variants emit stereo."""
+    tmp, rate = scene
+    from spatialaudiogen_tpu.cli.binauralize import main as bin_main
+    from spatialaudiogen_tpu.cli.encode import main as enc_main
+    from spatialaudiogen_tpu.cli.encode_and_binauralize import main as eb_main
+
+    src = str(tmp / "src.wav")
+    out = str(tmp / "xyz-ambix.wav")
+    enc_main([src, out, "--xyz", "0", "1", "0"])
+    amb, r = load_wav(out)
+    assert r == rate and amb.shape[1] == 4
+    w, y, z, x = amb.T  # ACN order W, Y, Z, X
+    assert np.abs(y).max() > 0.1 and np.abs(w).max() > 0.1
+    assert np.abs(x).max() < 1e-6 and np.abs(z).max() < 1e-6
+
+    bin_main([src, str(tmp / "xyz-st.wav"), "--xyz", "0.5", "0.5", "0"])
+    st, _ = load_wav(str(tmp / "xyz-st.wav"))
+    assert st.shape[1] == 2
+
+    eb_main([src, str(tmp / "xyzo"), "--xyz", "1", "0", "0"])
+    st2, _ = load_wav(str(tmp / "xyzo-stereo.wav"))
+    amb2, _ = load_wav(str(tmp / "xyzo-ambix.wav"))
+    assert st2.shape[1] == 2 and amb2.shape[1] == 4

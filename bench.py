@@ -136,7 +136,10 @@ def e2e_deploy_bench(runs: int = 2):
     return out.shape[0] / model.cfg.audio_rate / best
 
 
-def train_bench(bf16: bool, batch: int = 32, iters: int = 20) -> float:
+TRAIN_BATCH = 128  # best measured train batch (PERF.md scaling table)
+
+
+def train_bench(bf16: bool, batch: int = TRAIN_BATCH, iters: int = 20) -> float:
     """Verified-sync train-step throughput (samples/s) for the flagship
     model. Reuses tools/profile_tpu.build_train so the compiled executable
     is shared with the profiling tool's cache entries."""
@@ -186,6 +189,7 @@ def main():
         "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
         "train_samples_per_sec_f32": train_f32,
         "train_samples_per_sec_bf16": train_bf16,
+        "train_batch": TRAIN_BATCH,
     }))
 
 

@@ -21,15 +21,28 @@ CONTAINER_BOXES = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"udta", b"edts"
 SOUND_SAMPLE_ENTRIES = {b"mp4a", b"lpcm", b"sowt", b"twos"}
 SPHERICAL_UUID = bytes.fromhex("ffcc82638f554a938814587a02521fdd")
 
-SPHERICAL_XML = (
-    b"<?xml version=\"1.0\"?>"
-    b"<rdf:SphericalVideo xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\""
-    b" xmlns:GSpherical=\"http://ns.google.com/videos/1.0/spherical/\">"
-    b"<GSpherical:Spherical>true</GSpherical:Spherical>"
-    b"<GSpherical:Stitched>true</GSpherical:Stitched>"
-    b"<GSpherical:StitchingSoftware>spatialaudiogen_tpu</GSpherical:StitchingSoftware>"
-    b"<GSpherical:ProjectionType>equirectangular</GSpherical:ProjectionType>"
-    b"</rdf:SphericalVideo>")
+def make_spherical_xml(stereo_mode: str = "none") -> bytes:
+    """Spherical video V1 RDF/XML (spatial-media metadata_utils semantics:
+    a StereoMode tag is added for top-bottom / left-right, omitted for
+    mono/none)."""
+    assert stereo_mode in ("none", "top-bottom", "left-right")
+    stereo = b""
+    if stereo_mode != "none":
+        stereo = (b"<GSpherical:StereoMode>" + stereo_mode.encode() +
+                  b"</GSpherical:StereoMode>")
+    return (
+        b"<?xml version=\"1.0\"?>"
+        b"<rdf:SphericalVideo xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\""
+        b" xmlns:GSpherical=\"http://ns.google.com/videos/1.0/spherical/\">"
+        b"<GSpherical:Spherical>true</GSpherical:Spherical>"
+        b"<GSpherical:Stitched>true</GSpherical:Stitched>"
+        b"<GSpherical:StitchingSoftware>spatialaudiogen_tpu</GSpherical:StitchingSoftware>"
+        b"<GSpherical:ProjectionType>equirectangular</GSpherical:ProjectionType>"
+        + stereo +
+        b"</rdf:SphericalVideo>")
+
+
+SPHERICAL_XML = make_spherical_xml()
 
 
 class Box:
@@ -117,8 +130,8 @@ def make_sa3d_box(order: int = 1, ordering: int = 0, normalization: int = 0,
     return Box(b"SA3D", payload)
 
 
-def make_spherical_uuid_box() -> Box:
-    return Box(b"uuid", SPHERICAL_UUID + SPHERICAL_XML)
+def make_spherical_uuid_box(stereo_mode: str = "none") -> Box:
+    return Box(b"uuid", SPHERICAL_UUID + make_spherical_xml(stereo_mode))
 
 
 def _trak_is_audio(trak: Box) -> bool:
@@ -127,7 +140,8 @@ def _trak_is_audio(trak: Box) -> bool:
 
 
 def inject_spatial_metadata(data: bytes, spatial_audio: bool = True,
-                            spherical_video: bool = True, order: int = 1) -> bytes:
+                            spherical_video: bool = True, order: int = 1,
+                            stereo_mode: str = "none") -> bytes:
     """Returns new MP4 bytes with SA3D and/or spherical uuid boxes injected."""
     boxes = parse_top_level(data)
     moov = next((b for b in boxes if b.type == b"moov"), None)
@@ -143,7 +157,7 @@ def inject_spatial_metadata(data: bytes, spatial_audio: bool = True,
                         injected += 1
         elif spherical_video and not _trak_is_audio(trak):
             if not any(c.type == b"uuid" for c in trak.children):
-                trak.children.append(make_spherical_uuid_box())
+                trak.children.append(make_spherical_uuid_box(stereo_mode))
                 injected += 1
 
     if injected:
@@ -172,8 +186,44 @@ def _shift_chunk_offsets(moov: Box, delta: int):
 
 
 def inject_file(input_fn: str, output_fn: str, spatial_audio: bool = True,
-                spherical_video: bool = True, order: int = 1):
+                spherical_video: bool = True, order: int = 1,
+                stereo_mode: str = "none"):
     data = open(input_fn, "rb").read()
-    out = inject_spatial_metadata(data, spatial_audio, spherical_video, order)
+    out = inject_spatial_metadata(data, spatial_audio, spherical_video, order,
+                                  stereo_mode)
     with open(output_fn, "wb") as f:
         f.write(out)
+
+
+def describe_file(input_fn: str) -> list:
+    """Human-readable description of the spatial metadata in an MP4 —
+    the spatial-media CLI's print mode (spatialmedia/__main__.py parse
+    path). Returns a list of strings."""
+    boxes = parse_top_level(open(input_fn, "rb").read())
+    moov = next((b for b in boxes if b.type == b"moov"), None)
+    lines = []
+    if moov is None:
+        return [f"{input_fn}: no moov box (not an MP4?)"]
+    for i, trak in enumerate(moov.find_all(b"trak")):
+        kind = "audio" if _trak_is_audio(trak) else "video"
+        found = False
+        for sa3d in trak.find_all(b"SA3D"):
+            p = sa3d.payload
+            order = struct.unpack(">I", p[2:6])[0]
+            ordering, norm = struct.unpack(">BB", p[6:8])
+            n_ch = struct.unpack(">I", p[8:12])[0]
+            cmap = struct.unpack(f">{n_ch}I", p[12: 12 + 4 * n_ch])
+            lines.append(
+                f"{input_fn}: trak {i} ({kind}): SA3D order={order} "
+                f"ordering={'ACN' if ordering == 0 else ordering} "
+                f"normalization={'SN3D' if norm == 0 else norm} "
+                f"channel_map={list(cmap)}")
+            found = True
+        for child in trak.children:
+            if child.type == b"uuid" and child.payload.startswith(SPHERICAL_UUID):
+                xml = child.payload[len(SPHERICAL_UUID):].decode("utf-8", "replace")
+                lines.append(f"{input_fn}: trak {i} ({kind}): spherical V1 XML: {xml}")
+                found = True
+        if not found:
+            lines.append(f"{input_fn}: trak {i} ({kind}): no spatial metadata")
+    return lines

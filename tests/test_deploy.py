@@ -214,3 +214,31 @@ def test_binauralize_stereo_is_w_pm_y():
     ratio = (amb[:, 0] + amb[:, 1]) / st[:, 0]
     np.testing.assert_allclose(ratio, ratio[0], rtol=1e-6)
     np.testing.assert_allclose(st[:, 1] * ratio[0], amb[:, 0] - amb[:, 1], rtol=1e-5)
+
+
+def test_spatialmedia_cli_inject_and_print(tmp_path, capsys):
+    """sag-spatialmedia: inject writes SA3D + spherical XML (with stereo
+    mode), print mode decodes them back (reference spatialmedia CLI parity,
+    3rd-party/spatial-media/spatialmedia/__main__.py)."""
+    from spatialaudiogen_tpu.cli.spatialmedia import main as sm_main
+
+    src = tmp_path / "in.mp4"
+    dst = tmp_path / "out.mp4"
+    src.write_bytes(_fake_mp4())
+
+    sm_main(["-i", "--spatial-audio", "--stereo", "top-bottom",
+             str(src), str(dst)])
+    out = capsys.readouterr().out
+    assert "Injected" in out
+
+    sm_main([str(dst)])
+    out = capsys.readouterr().out
+    assert "SA3D order=1 ordering=ACN normalization=SN3D" in out
+    assert "channel_map=[0, 1, 2, 3]" in out
+    assert "spherical V1 XML" in out
+    assert "<GSpherical:StereoMode>top-bottom</GSpherical:StereoMode>" in out
+
+    # print mode on a file without metadata reports its absence
+    sm_main([str(src)])
+    out = capsys.readouterr().out
+    assert out.count("no spatial metadata") == 2

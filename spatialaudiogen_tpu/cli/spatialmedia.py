@@ -37,8 +37,10 @@ def main(argv=None):
     from spatialaudiogen_tpu.deploy.sa3d import describe_file, inject_file
 
     if args.inject:
-        assert len(args.file) == 2, (
-            "Injecting metadata requires an input file and an output file.")
+        if len(args.file) != 2:
+            parser.error(
+                "injecting metadata requires exactly an input file and an "
+                "output file")
         inject_file(args.file[0], args.file[1],
                     spatial_audio=args.spatial_audio, spherical_video=True,
                     order=args.ambi_order, stereo_mode=args.stereo_mode)

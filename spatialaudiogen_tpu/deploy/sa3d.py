@@ -198,9 +198,14 @@ def inject_file(input_fn: str, output_fn: str, spatial_audio: bool = True,
 def describe_file(input_fn: str) -> list:
     """Human-readable description of the spatial metadata in an MP4 —
     the spatial-media CLI's print mode (spatialmedia/__main__.py parse
-    path). Returns a list of strings."""
-    boxes = parse_top_level(open(input_fn, "rb").read())
-    moov = next((b for b in boxes if b.type == b"moov"), None)
+    path). Returns a list of strings; malformed/non-MP4 files are reported
+    per file instead of raising (this is the CLI's default action on
+    arbitrary user files)."""
+    try:
+        boxes = parse_top_level(open(input_fn, "rb").read())
+        moov = next((b for b in boxes if b.type == b"moov"), None)
+    except Exception:
+        return [f"{input_fn}: could not parse box structure (not an MP4?)"]
     lines = []
     if moov is None:
         return [f"{input_fn}: no moov box (not an MP4?)"]
@@ -209,10 +214,16 @@ def describe_file(input_fn: str) -> list:
         found = False
         for sa3d in trak.find_all(b"SA3D"):
             p = sa3d.payload
-            order = struct.unpack(">I", p[2:6])[0]
-            ordering, norm = struct.unpack(">BB", p[6:8])
-            n_ch = struct.unpack(">I", p[8:12])[0]
-            cmap = struct.unpack(f">{n_ch}I", p[12: 12 + 4 * n_ch])
+            try:
+                order = struct.unpack(">I", p[2:6])[0]
+                ordering, norm = struct.unpack(">BB", p[6:8])
+                n_ch = struct.unpack(">I", p[8:12])[0]
+                cmap = struct.unpack(f">{n_ch}I", p[12: 12 + 4 * n_ch])
+            except struct.error:
+                lines.append(f"{input_fn}: trak {i} ({kind}): malformed SA3D "
+                             f"box ({len(p)} payload bytes)")
+                found = True
+                continue
             lines.append(
                 f"{input_fn}: trak {i} ({kind}): SA3D order={order} "
                 f"ordering={'ACN' if ordering == 0 else ordering} "

@@ -228,17 +228,22 @@ def load_caffe_style_npy(npy_path: str, variables: dict, in_channels: int = 3):
     return restore_tf_var_dict(tf_vars, variables, conv1_in_channels=in_channels)
 
 
-def load_npy_weights(npy_path: str, variables: dict, in_channels: int = 3,
+def load_npy_weights(npy_path, variables: dict, in_channels: int = 3,
                      prefix: str = ""):
     """Load a reference-style resnet18.npy (flat TF var-name dict) into Flax
     variables (see models.convert for the name mapping). conv1 kernels are
-    channel-sliced to `in_channels` (reference resnet.py:49 behavior)."""
+    channel-sliced to `in_channels` (reference resnet.py:49 behavior).
+    `npy_path` may also be a pre-loaded dict so multi-encoder restores
+    deserialize the blob once (train.trainer._load_pretrained_visual)."""
     import numpy as np
 
     from spatialaudiogen_tpu.models.convert import restore_tf_var_dict
 
-    raw = np.load(npy_path, allow_pickle=True)
-    blob = raw.item() if hasattr(raw, "item") else dict(raw)
+    if isinstance(npy_path, dict):
+        blob = npy_path
+    else:
+        raw = np.load(npy_path, allow_pickle=True)
+        blob = raw.item() if hasattr(raw, "item") else dict(raw)
     if prefix:
         blob = {f"{prefix}/{k}": v for k, v in blob.items()}
     return restore_tf_var_dict(blob, variables, conv1_in_channels=in_channels)

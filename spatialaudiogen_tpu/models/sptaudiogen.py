@@ -263,28 +263,26 @@ class SeparationUNet(nn.Module):
         x = x[:, g.narrowed_deconv_ss: g.narrowed_deconv_ss + g.n_mask_frames]
         b = x.shape[0]
 
+        # tap for the numpy parity oracle (tests/test_reference_oracle.py):
+        # apply(..., mutable=["intermediates"]) recovers the learned mask.
+        # Always sown in track-major view; DCE'd (transpose included) unless
+        # the 'intermediates' collection is mutable.
+        mask = (x.transpose(0, 3, 1, 2)
+                .reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size))
+        self.sow("intermediates", "mask", mask)
+
         pallas_on = _pallas_enabled(cfg.use_pallas) and not cfg.hermitian_dft
         if pallas_on and cfg.pallas_nhwc and n_in == 1:
-            # NHWC fast path: skip the track-major relayout entirely; the
-            # kernel transposes VMEM-resident blocks in-kernel. The oracle
-            # tap still sows the track-major view (DCE'd unless the
-            # 'intermediates' collection is mutable).
+            # NHWC path: skip the track-major relayout entirely; the kernel
+            # transposes VMEM-resident blocks in-kernel (see config note —
+            # measured slower on v5e, default off).
             from spatialaudiogen_tpu.ops.pallas_kernels import (
                 masked_istft_nhwc_pallas,
             )
 
-            self.sow("intermediates", "mask",
-                     x.transpose(0, 3, 1, 2)
-                     .reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size))
             x_sep = masked_istft_nhwc_pallas(stft_re[:, 0], stft_im[:, 0], x,
                                              4, False, cfg.pallas_precision)
             return x_sep[:, None, :, g.out_ss: g.out_tt]
-
-        x = x.transpose(0, 3, 1, 2)                          # (B, tracks*n_in, 28, 1024)
-        mask = x.reshape(b, n_in, tracks, g.n_mask_frames, g.wind_size)
-        # tap for the numpy parity oracle (tests/test_reference_oracle.py):
-        # apply(..., mutable=["intermediates"]) recovers the learned mask
-        self.sow("intermediates", "mask", mask)
 
         # masked ISTFT: real mask times complex STFT == two real scalings
         if cfg.hermitian_dft:

@@ -316,7 +316,7 @@ def masked_istft_reference(re, im, mask, n_overlap: int = 4):
 
 
 def _nhwc_kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *,
-                 n_overlap: int, n_freqs: int, n_chunks: int, precision):
+                 n_overlap: int, n_freqs: int, precision):
     t, fb, ch = mask_ref.shape[1:]
     k = pl.program_id(1)
 
@@ -356,7 +356,7 @@ def _nhwc_kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *,
         out_ref[0] = out_ref[0] + acc
 
 
-def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
+def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="highest"):
     b, t, f = re.shape
     ch = mask_nhwc.shape[-1]
     pad = (-ch) % 8                                     # sublane-legal output
@@ -371,12 +371,11 @@ def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
     c, s = _basis(f)
     fb = min(128, f)  # lane-dim blocks must be 128-divisible (Mosaic rule)
     assert f % fb == 0
-    n_chunks = f // fb
 
     out = pl.pallas_call(
         functools.partial(_nhwc_kernel, n_overlap=n_overlap, n_freqs=f,
-                          n_chunks=n_chunks, precision=_to_precision(precision)),
-        grid=(b, n_chunks),
+                          precision=_to_precision(precision)),
+        grid=(b, f // fb),
         in_specs=[
             pl.BlockSpec((1, t, fb), lambda i, k: (i, 0, k),
                          memory_space=pltpu.VMEM),
@@ -397,7 +396,7 @@ def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def masked_istft_nhwc_pallas(re, im, mask_nhwc, n_overlap: int = 4,
-                             interpret: bool = False, precision="default"):
+                             interpret: bool = False, precision="highest"):
     """Fused masked comb-ISTFT over an NHWC (deconv-native) mask.
 
     re, im: (B, T, F) real/imag spectra of the single input channel;
@@ -408,7 +407,7 @@ def masked_istft_nhwc_pallas(re, im, mask_nhwc, n_overlap: int = 4,
     return _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision)
 
 
-def _nhwc_fwd(re, im, mask_nhwc, n_overlap, interpret, precision="default"):
+def _nhwc_fwd(re, im, mask_nhwc, n_overlap, interpret, precision="highest"):
     return (_nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision),
             (re, im, mask_nhwc))
 

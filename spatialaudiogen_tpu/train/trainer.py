@@ -78,8 +78,12 @@ class Trainer:
         (restore_pretrained parity, model.py:198 / resnet.py:238-249). The
         npy's flat TF var names are prefixed with the encoder scope so the
         same ImageNet weights land in both video_encoder and flow_encoder."""
+        import numpy as np
+
         from spatialaudiogen_tpu.models.resnet import load_npy_weights
 
+        raw = np.load(npy_path, allow_pickle=True)
+        blob = raw.item() if hasattr(raw, "item") else dict(raw)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -87,7 +91,7 @@ class Trainer:
             if enc not in self.cfg.encoders:
                 continue
             variables, unmatched = load_npy_weights(
-                npy_path, variables, prefix=f"{enc}_encoder")
+                blob, variables, prefix=f"{enc}_encoder")
             print(f"Initialized {enc}_encoder from {npy_path} "
                   f"({len(unmatched)} npy entries unmatched)")
         return state.replace(

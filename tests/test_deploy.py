@@ -242,3 +242,37 @@ def test_spatialmedia_cli_inject_and_print(tmp_path, capsys):
     sm_main([str(src)])
     out = capsys.readouterr().out
     assert out.count("no spatial metadata") == 2
+
+
+def test_describe_file_malformed_inputs(tmp_path):
+    """Print mode must degrade gracefully: non-MP4 bytes and truncated SA3D
+    payloads report per-file/per-box messages instead of raising."""
+    from spatialaudiogen_tpu.deploy.sa3d import describe_file
+
+    notmp4 = tmp_path / "x.wav"
+    notmp4.write_bytes(b"RIFF" + b"\x00" * 40)
+    (line,) = describe_file(str(notmp4))
+    assert "not an MP4" in line
+
+    # inject, then truncate the SA3D payload in place
+    good = inject_spatial_metadata(_fake_mp4(), spatial_audio=True,
+                                   spherical_video=False)
+    idx = good.find(b"SA3D")
+    bad = bytearray(good)
+    # shrink the SA3D box: keep header + 4 payload bytes (too short to parse)
+    import struct as _s
+
+    old_size = _s.unpack(">I", bad[idx - 4: idx])[0]
+    # rewrite payload length byte-wise: truncate file at box start + 12 and
+    # splice the remainder after the (now shorter) box
+    box_start = idx - 4
+    new_size = 12
+    rest = bytes(bad[box_start + old_size:])
+    truncated = bytes(bad[:box_start]) + _s.pack(">I", new_size) + b"SA3D" + \
+        b"\x00" * 4 + rest
+    # ancestor sizes are now wrong, so parsing may fail entirely OR decode a
+    # malformed box — either way describe_file must not raise
+    mp4 = tmp_path / "trunc.mp4"
+    mp4.write_bytes(truncated)
+    lines = describe_file(str(mp4))
+    assert lines  # produced messages, did not raise

@@ -235,3 +235,36 @@ def test_pretrained_resnet_init(db, tmp_path):
         np.asarray(trainer2.state.params["audio_encoder"]["conv1"]["conv"]["kernel"]),
         np.asarray(trainer.state.params["audio_encoder"]["conv1"]["conv"]["kernel"]),
         atol=0)
+
+
+def test_pretrained_resnet_applies_to_flow_encoder(tmp_path):
+    """With video+flow encoders the same npy blob (loaded once) initializes
+    both visual towers (reference instantiates the same pretrained ResNet18
+    twice, model.py:383-396)."""
+    import numpy as np
+
+    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+    from spatialaudiogen_tpu.models.convert import to_tf_var_dict
+
+    root = str(tmp_path / "flowdb")
+    make_synthetic_dataset(root, n_videos=2, duration=3.0, frame_hw=(64, 128),
+                           with_flow=True, seed=4)
+    cfg = _cfg(root, str(tmp_path / "m0"), encoders=("audio", "video", "flow"),
+               n_iters=0, batch_size=2, frame_hw=(64, 128))
+    trainer = Trainer(cfg)
+    variables = {"params": trainer.state.params["video_encoder"],
+                 "batch_stats": trainer.state.batch_stats["video_encoder"]}
+    rng = np.random.RandomState(5)
+    blob = {k: np.asarray(v) + rng.randn(*np.shape(v)).astype(np.float32)
+            for k, v in to_tf_var_dict(variables).items()}
+    npy_path = str(tmp_path / "resnet18.npy")
+    np.save(npy_path, blob, allow_pickle=True)
+
+    cfg2 = _cfg(root, str(tmp_path / "m1"), encoders=("audio", "video", "flow"),
+                n_iters=0, batch_size=2, frame_hw=(64, 128),
+                pretrained_resnet=npy_path)
+    trainer2 = Trainer(cfg2)
+    for enc in ("video_encoder", "flow_encoder"):
+        got = trainer2.state.params[enc]["conv2_1"]["conv_1"]["conv"]["kernel"]
+        want = blob["conv2_1/conv_1/weights"]
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, err_msg=enc)

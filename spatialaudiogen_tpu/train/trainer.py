@@ -60,6 +60,9 @@ class Trainer:
                                    example)
         if cfg.pretrained_resnet and not cfg.resume:
             state = self._load_pretrained_visual(state, cfg.pretrained_resnet)
+        elif cfg.pretrained_resnet:
+            print("--pretrained_resnet ignored: resuming from a checkpoint "
+                  "(pretrained init only applies to fresh runs)")
         self.step_fn, self.state_shardings = jit_sharded(
             make_train_step(self.model, self.tx, cfg.weight_decay),
             state, self.tx, self.mesh)

@@ -30,6 +30,11 @@ def parse_arguments(argv=None):
     parser.add_argument("--n_data", default=1, type=int,
                         help="Shard each window batch over this many devices "
                              "(data axis of a ('data','model') mesh).")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Override the training compute dtype (bf16 "
+                             "fast deploy of an f32 model, or f32-exact "
+                             "deploy of a bf16 one).")
     parser.add_argument("--crossfade", action="store_true",
                         help="Hann-blend half-offset passes at window seams.")
     args = parser.parse_args(argv)
@@ -51,7 +56,8 @@ def main(argv=None):
         from spatialaudiogen_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)
-    model = MonoToAmbix(args.model_dir, batch_size=args.batch_size, mesh=mesh)
+    model = MonoToAmbix(args.model_dir, batch_size=args.batch_size, mesh=mesh,
+                        compute_dtype=args.compute_dtype)
     print(f"Restored checkpoint step {model.restored_step}")
     print("Generating ambisonics...")
     ambi = model.deploy(args.input_folder, args.deploy_start, args.deploy_duration,

@@ -24,6 +24,11 @@ def parse_arguments(argv=None):
     parser.add_argument("--n_data", default=None, type=int,
                         help="Shard eval batches over a data-parallel mesh "
                              "of this many devices (default: single device).")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["float32", "bfloat16"],
+                        help="Override the training compute dtype, e.g. "
+                             "force f32-exact metrics for a --bf16-trained "
+                             "model (default: as trained).")
     args = parser.parse_args(argv)
     if len(args.subset_fn) == 0:
         args.subset_fn = None
@@ -47,7 +52,8 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.n_data, n_model=1)
     evaluator = Evaluator(args.model_dir, subset_fn=args.subset_fn,
                           batch_size=args.batch_size, db_dir=args.db_dir,
-                          emd_ang_res=args.emd_ang_res, mesh=mesh)
+                          emd_ang_res=args.emd_ang_res, mesh=mesh,
+                          compute_dtype=args.compute_dtype)
     print(f"Restored checkpoint step {evaluator.restored_step}")
     summary, results = evaluator.run(output_fn=eval_fn)
     print(f"\nEvaluated {len(results)} samples")

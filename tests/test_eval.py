@@ -99,3 +99,22 @@ def test_evaluator_end_to_end(trained_model):
     agg = aggregate(detailed)
     assert set(agg) == {"MSE", "STFT", "ENV", "EMD"}
     assert all(np.isfinite(v) for v in agg.values())
+
+
+def test_evaluator_compute_dtype_override(trained_model):
+    """--compute_dtype overrides the dtype recorded at training time: an
+    f32-trained model evaluated under bfloat16 yields close (not identical)
+    metrics; the override propagates to the rebuilt model config."""
+    import jax.numpy as jnp
+
+    root, model_dir = trained_model
+    f32 = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36)
+    assert f32.model.cfg.dtype is None
+    bf16 = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36,
+                     compute_dtype="bfloat16")
+    assert bf16.model.cfg.dtype == jnp.bfloat16
+    s32, _ = f32.run(host_threads=2, print_every=0)
+    s16, _ = bf16.run(host_threads=2, print_every=0,
+                      output_fn=os.path.join(model_dir, "eval-bf16.txt"))
+    assert s16["stft/avg"] == pytest.approx(s32["stft/avg"], rel=0.1)
+    assert s16["stft/avg"] != s32["stft/avg"]  # genuinely different numerics

@@ -105,14 +105,22 @@ class TrainConfig:
                 f.write(f"{k}: {v}\n")
 
     @classmethod
-    def load(cls, model_dir: str) -> "TrainConfig":
+    def load(cls, model_dir: str,
+             compute_dtype: str | None = None) -> "TrainConfig":
+        """Load saved params. `compute_dtype` overrides the dtype recorded
+        at training time (a pure compute-cast choice — master weights are
+        f32 in checkpoints either way); used by eval/deploy `--compute_dtype`.
+        The override is never persisted back."""
         json_fn = os.path.join(model_dir, "train-params.json")
         if os.path.exists(json_fn):
-            payload = json.load(open(json_fn))
-            return cls(**_coerce(payload))
-        txt_fn = os.path.join(model_dir, "train-params.txt")
-        assert os.path.exists(txt_fn), f"no train params in {model_dir}"
-        return cls(**_coerce(_parse_txt(txt_fn)))
+            cfg = cls(**_coerce(json.load(open(json_fn))))
+        else:
+            txt_fn = os.path.join(model_dir, "train-params.txt")
+            assert os.path.exists(txt_fn), f"no train params in {model_dir}"
+            cfg = cls(**_coerce(_parse_txt(txt_fn)))
+        if compute_dtype is not None:
+            cfg.compute_dtype = compute_dtype
+        return cfg
 
 
 def _parse_txt(fn: str) -> dict:

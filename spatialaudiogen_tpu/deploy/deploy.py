@@ -52,12 +52,8 @@ class MonoToAmbix:
 
     def __init__(self, model_dir: str, batch_size: int = 32, mesh=None,
                  compute_dtype: str | None = None):
-        self.cfg = TrainConfig.load(model_dir)
+        self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
-        if compute_dtype is not None:
-            # override the training compute dtype (e.g. bf16 fast deploy of
-            # an f32-trained model, or f32-exact deploy of a bf16 one)
-            self.cfg.compute_dtype = compute_dtype
         self.cfg.sample_dur = DEPLOY_DURATION
         self.batch_size = batch_size
         self.mesh = mesh

@@ -52,14 +52,10 @@ class Evaluator:
                  batch_size: int = EVAL_BATCH, db_dir: str | None = None,
                  n_workers: int = 4, emd_ang_res: float = 30,
                  mesh=None, compute_dtype: str | None = None):
-        self.cfg = TrainConfig.load(model_dir)
+        self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         if db_dir is not None:
             self.cfg.db_dir = db_dir
-        if compute_dtype is not None:
-            # override the training compute dtype — e.g. force f32 metrics
-            # on a --bf16-trained model (master weights are f32 either way)
-            self.cfg.compute_dtype = compute_dtype
         self.cfg.sample_dur = EVAL_DURATION
         self.batch_size = batch_size
         self.emd_ang_res = emd_ang_res

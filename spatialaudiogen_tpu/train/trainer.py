@@ -58,11 +58,19 @@ class Trainer:
         example = self._example_batch()
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),
                                    example)
-        if cfg.pretrained_resnet and not cfg.resume:
-            state = self._load_pretrained_visual(state, cfg.pretrained_resnet)
-        elif cfg.pretrained_resnet:
-            print("--pretrained_resnet ignored: resuming from a checkpoint "
-                  "(pretrained init only applies to fresh runs)")
+        if cfg.pretrained_resnet:
+            # Applies only when no checkpoint will be restored — keyed on
+            # actual checkpoint presence, not the --resume flag, so a
+            # killed-before-first-checkpoint rerun still gets the
+            # pretrained init instead of silent random weights.
+            from spatialaudiogen_tpu.train.checkpoint import latest_step
+
+            if cfg.resume and latest_step(cfg.model_dir) is not None:
+                print("--pretrained_resnet ignored: resuming from a "
+                      "checkpoint (pretrained init only applies to fresh "
+                      "runs)")
+            else:
+                state = self._load_pretrained_visual(state, cfg.pretrained_resnet)
         self.step_fn, self.state_shardings = jit_sharded(
             make_train_step(self.model, self.tx, cfg.weight_decay),
             state, self.tx, self.mesh)

@@ -259,17 +259,14 @@ def test_describe_file_malformed_inputs(tmp_path):
                                    spherical_video=False)
     idx = good.find(b"SA3D")
     bad = bytearray(good)
-    # shrink the SA3D box: keep header + 4 payload bytes (too short to parse)
-    import struct as _s
-
-    old_size = _s.unpack(">I", bad[idx - 4: idx])[0]
-    # rewrite payload length byte-wise: truncate file at box start + 12 and
-    # splice the remainder after the (now shorter) box
+    old_size = struct.unpack(">I", bad[idx - 4: idx])[0]
+    # shrink the SA3D box: keep header + 4 payload bytes (too short to
+    # parse) and splice the remainder after the (now shorter) box
     box_start = idx - 4
     new_size = 12
     rest = bytes(bad[box_start + old_size:])
-    truncated = bytes(bad[:box_start]) + _s.pack(">I", new_size) + b"SA3D" + \
-        b"\x00" * 4 + rest
+    truncated = bytes(bad[:box_start]) + struct.pack(">I", new_size) + \
+        b"SA3D" + b"\x00" * 4 + rest
     # ancestor sizes are now wrong, so parsing may fail entirely OR decode a
     # malformed box — either way describe_file must not raise
     mp4 = tmp_path / "trunc.mp4"

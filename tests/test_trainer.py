@@ -268,3 +268,35 @@ def test_pretrained_resnet_applies_to_flow_encoder(tmp_path):
         got = trainer2.state.params[enc]["conv2_1"]["conv_1"]["conv"]["kernel"]
         want = blob["conv2_1/conv_1/weights"]
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-6, err_msg=enc)
+
+
+def test_pretrained_applies_when_resume_finds_no_checkpoint(db, tmp_path):
+    """--resume with no checkpoint on disk (killed before the first save)
+    must still apply --pretrained_resnet instead of silently training from
+    random weights (the gate keys on checkpoint presence, not the flag)."""
+    import numpy as np
+
+    from spatialaudiogen_tpu.models.convert import to_tf_var_dict
+
+    cfg0 = _cfg(db, str(tmp_path / "seedm"), encoders=("audio", "video"),
+                n_iters=0, batch_size=2, frame_hw=(64, 128))
+    trainer0 = Trainer(cfg0)
+    variables = {"params": trainer0.state.params["video_encoder"],
+                 "batch_stats": trainer0.state.batch_stats["video_encoder"]}
+    rng = np.random.RandomState(7)
+    blob = {k: np.asarray(v) + rng.randn(*np.shape(v)).astype(np.float32)
+            for k, v in to_tf_var_dict(variables).items()}
+    npy_path = str(tmp_path / "resnet18.npy")
+    np.save(npy_path, blob, allow_pickle=True)
+
+    model_dir = str(tmp_path / "resume_nockpt")
+    # simulate a run killed after the config save but before any checkpoint
+    _cfg(db, model_dir, encoders=("audio", "video"), n_iters=0,
+         batch_size=2, frame_hw=(64, 128)).save(model_dir)
+    cfg = _cfg(db, model_dir, encoders=("audio", "video"), n_iters=0,
+               batch_size=2, frame_hw=(64, 128), resume=True,
+               pretrained_resnet=npy_path)
+    trainer = Trainer(cfg)  # model_dir has params but no checkpoints
+    got = trainer.state.params["video_encoder"]["conv1"]["conv"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), blob["conv1/weights"],
+                               atol=1e-6)

@@ -33,7 +33,6 @@ class ModelGeometry:
     fft_window: float = 0.025  # seconds (SEP_FFT_WINDOW_DEF)
 
     def __post_init__(self):
-        assert float(self.audio_rate) / self.video_rate == int(self.audio_rate) // int(self.video_rate)
         assert self.audio_rate % self.video_rate == 0
 
     # --- basic sizes (model.py:35-60) ---
@@ -110,16 +109,13 @@ class ModelGeometry:
 
     @property
     def deconv_ss(self) -> int:
-        """Start of the deconv-output crop: mask_ss - enc_ss (model.py:317-323)."""
-        skip = (self.snd_contx / 2.0) * (4.0 / self.wind_size)
-        skip = int(skip - (INP_DIM - 1) / 2.0)
-        return self.mask_ss - skip
+        """Start of the deconv-output crop: mask_ss - enc_ss (model.py:317-323;
+        the reference re-derives the skip inline, but it is exactly enc_ss)."""
+        return self.mask_ss - self.enc_ss
 
     @property
     def deconv_tt(self) -> int:
-        skip = (self.snd_contx / 2.0) * (4.0 / self.wind_size)
-        skip = int(skip - (INP_DIM - 1) / 2.0)
-        return self.mask_tt - skip
+        return self.mask_tt - self.enc_ss
 
     # --- istft output crop (model.py:344-348) ---
     @property

@@ -23,8 +23,6 @@ All functions take jnp or numpy arrays and are jit-safe (static shapes only).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 
@@ -94,17 +92,20 @@ def istft(spec, n_overlap: int):
     return acc / float(n_overlap)
 
 
-def stft_for_loss(signal, window: int, n_overlap: int):
-    """Loss-side STFT: (B, N, C) -> (B, C, n_frames, window_pow2) complex.
+def loss_frame_windows(signal, window: int, n_overlap: int):
+    """Shared loss-side framing: (B, N, C) -> ((B, C, nW, window_pow2)
+    windows, window_pow2).
 
     Window is rounded UP to the next power of two (myutils.py:155); the
-    overlap streams are concatenated stream-major.
+    overlap streams are concatenated stream-major, each stream's frame
+    count using the reference's py2-faithful `(n - i*stride - 1) / window`
+    truncation. Single source for both the FFT reference (stft_for_loss)
+    and the device matmul path (ops.dft.stft_for_loss_real).
     """
     import jax.numpy as jnp
 
     bs, n, nc = signal.shape
     window = int(2 ** np.ceil(np.log(window) / np.log(2)))
-    win = jnp.asarray(hann_window(window), dtype=signal.dtype)
 
     if n_overlap == 1:
         n_w = int(float(n) / window)
@@ -122,17 +123,16 @@ def stft_for_loss(signal, window: int, n_overlap: int):
             parts.append(y.reshape(bs, n_w, window, nc))
         windows = jnp.concatenate(parts, axis=1)
 
-    windows = windows.transpose(0, 3, 1, 2)                    # (B, C, nW, window)
+    return windows.transpose(0, 3, 1, 2), window               # (B, C, nW, window)
+
+
+def stft_for_loss(signal, window: int, n_overlap: int):
+    """Loss-side STFT: (B, N, C) -> (B, C, n_frames, window_pow2) complex
+    (myutils.py:151-178 semantics)."""
+    import jax.numpy as jnp
+
+    windows, window = loss_frame_windows(signal, window, n_overlap)
+    win = jnp.asarray(hann_window(window), dtype=signal.dtype)
     return jnp.fft.fft(windows * win, axis=-1)
 
 
-@functools.lru_cache(maxsize=8)
-def dft_matrices(wind_size: int, dtype=np.float32):
-    """Real/imag DFT matrices (wind, wind) for the matmul-DFT fast path.
-
-    A 1024-point DFT as two (T,1024)x(1024,1024) matmuls rides the MXU and
-    fuses with the Hann window; used by ops.pallas_stft.
-    """
-    k = np.arange(wind_size)
-    ang = -2.0 * np.pi * np.outer(k, k) / wind_size
-    return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)

@@ -73,6 +73,8 @@ def stft_real(x, wind_size: int, n_overlap: int, dtype=None, precision="highest"
     """
     import jax.numpy as jnp
 
+    assert (n_frames is None) or (frame_start is not None), (
+        "n_frames requires frame_start (pass frame_start=0 for a prefix)")
     if frame_start is not None:
         frames = frame_signal_range(x, wind_size, n_overlap, frame_start, n_frames)
     else:
@@ -143,33 +145,18 @@ def _overlap_add(x, n_overlap: int):
 def stft_for_loss_real(signal, window: int, n_overlap: int, precision="highest"):
     """Real-arithmetic version of dsp.stft.stft_for_loss (loss-side STFT).
 
-    (B, N, C) -> (Re, Im) each (B, C, n_frames, window_pow2).
+    (B, N, C) -> (Re, Im) each (B, C, n_frames, window_pow2). The pow2
+    rounding and py2-faithful framing live in dsp.stft.loss_frame_windows,
+    shared with the FFT reference path.
     """
     import jax.numpy as jnp
 
     from spatialaudiogen_tpu.dsp.stft import hann_window as _hann
+    from spatialaudiogen_tpu.dsp.stft import loss_frame_windows
 
-    bs, n, nc = signal.shape
-    window = int(2 ** np.ceil(np.log(window) / np.log(2)))
+    windows, window = loss_frame_windows(signal, window, n_overlap)
     win = jnp.asarray(_hann(window), dtype=signal.dtype)
-
-    if n_overlap == 1:
-        n_w = int(float(n) / window)
-        if n_w > 1:
-            sig = signal[:, : window * n_w, :] if n > window * n_w else signal
-            windows = sig.reshape(bs, n_w, window, nc)
-        else:
-            windows = signal[:, None]
-    else:
-        stride = int(window / n_overlap)
-        parts = []
-        for i in range(n_overlap):
-            n_w = int(float(n - i * stride - 1) / window)
-            y = signal[:, i * stride: i * stride + window * n_w, :]
-            parts.append(y.reshape(bs, n_w, window, nc))
-        windows = jnp.concatenate(parts, axis=1)
-
-    windows = windows.transpose(0, 3, 1, 2) * win
+    windows = windows * win
     c, s = _basis(window)
     re = jnp.matmul(windows, jnp.asarray(c), precision=precision,
                     preferred_element_type=jnp.float32)

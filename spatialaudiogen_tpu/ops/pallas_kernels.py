@@ -69,7 +69,6 @@ def _kernel(re_ref, im_ref, mask_ref, c_ref, s_ref, out_ref, *, n_overlap: int,
     out_ref[0] = acc / float(n_overlap)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def masked_istft_pallas(re, im, mask, n_overlap: int = 4, interpret: bool = False,
                         precision="highest"):
     """Fused masked comb-ISTFT.
@@ -77,7 +76,23 @@ def masked_istft_pallas(re, im, mask, n_overlap: int = 4, interpret: bool = Fals
     re, im: (B, n_in, T, F) real/imag spectra; mask: (B, n_in, TR, T, F).
     Returns (B, n_in, TR, out_len) separated track waveforms.
     `precision` applies to the iDFT matmuls (see _to_precision).
+
+    Trailing frames beyond a multiple of n_overlap are dropped, exactly as
+    ops.dft.istft_real does (their gradient is zero via the slice); the
+    kernel itself requires divisible T.
     """
+    t = re.shape[2]
+    t_use = (t // n_overlap) * n_overlap
+    if t_use != t:
+        re, im, mask = (re[:, :, :t_use], im[:, :, :t_use],
+                        mask[:, :, :, :t_use])
+    return _masked_istft_pallas_vjp(re, im, mask, n_overlap, interpret,
+                                    precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _masked_istft_pallas_vjp(re, im, mask, n_overlap: int = 4,
+                             interpret: bool = False, precision="highest"):
     return _forward(re, im, mask, n_overlap, interpret, precision)
 
 
@@ -288,7 +303,7 @@ def _bwd_xla(n_overlap, residuals, g):
     return g_re, g_im_out, g_mask
 
 
-masked_istft_pallas.defvjp(_fwd, _bwd)
+_masked_istft_pallas_vjp.defvjp(_fwd, _bwd)
 
 
 def masked_istft_reference(re, im, mask, n_overlap: int = 4):
@@ -394,7 +409,6 @@ def _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision="highest"):
     return out[:, :ch]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def masked_istft_nhwc_pallas(re, im, mask_nhwc, n_overlap: int = 4,
                              interpret: bool = False, precision="highest"):
     """Fused masked comb-ISTFT over an NHWC (deconv-native) mask.
@@ -403,7 +417,20 @@ def masked_istft_nhwc_pallas(re, im, mask_nhwc, n_overlap: int = 4,
     mask_nhwc: (B, T, F, C) sigmoid mask, C = tracks. Returns
     (B, C, out_len) separated track waveforms — numerically identical to
     masked_istft_pallas on the transposed mask, without the layout copy.
+    Trailing frames beyond a multiple of n_overlap are dropped like
+    ops.dft.istft_real.
     """
+    t = re.shape[1]
+    t_use = (t // n_overlap) * n_overlap
+    if t_use != t:
+        re, im, mask_nhwc = re[:, :t_use], im[:, :t_use], mask_nhwc[:, :t_use]
+    return _masked_istft_nhwc_vjp(re, im, mask_nhwc, n_overlap, interpret,
+                                  precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _masked_istft_nhwc_vjp(re, im, mask_nhwc, n_overlap: int = 4,
+                           interpret: bool = False, precision="highest"):
     return _nhwc_forward(re, im, mask_nhwc, n_overlap, interpret, precision)
 
 
@@ -426,4 +453,4 @@ def _nhwc_bwd(n_overlap, interpret, precision, residuals, g):
             g_mask[:, 0].transpose(0, 2, 3, 1).astype(mask_nhwc.dtype))
 
 
-masked_istft_nhwc_pallas.defvjp(_nhwc_fwd, _nhwc_bwd)
+_masked_istft_nhwc_vjp.defvjp(_nhwc_fwd, _nhwc_bwd)

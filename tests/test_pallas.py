@@ -115,3 +115,45 @@ def test_kernel_bf16_mask_forward_and_gradients():
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b_, np.float32),
                                    atol=5e-2, rtol=5e-2)
+
+
+def test_kernel_truncates_trailing_frames_like_istft_real():
+    """T not divisible by n_overlap: the wrappers must drop trailing frames
+    exactly as ops.dft.istft_real does (and zero their gradients) instead of
+    crashing in the kernel reshape."""
+    re, im, mask = _inputs(tracks=2, wind=128)
+    re, im, mask = re[:, :, :-2], im[:, :, :-2], mask[:, :, :, :-2]  # T%4 != 0
+    ref = np.asarray(masked_istft_reference(re, im, mask, 4))
+    got = np.asarray(masked_istft_pallas(re, im, mask, 4, True))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+    g = jax.grad(lambda m: jnp.sum(masked_istft_pallas(re, im, m, 4, True) ** 2))(mask)
+    g_ref = jax.grad(lambda m: jnp.sum(masked_istft_reference(re, im, m, 4) ** 2))(mask)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=5e-3,
+                               rtol=1e-3)
+    # dropped frames carry zero gradient
+    assert float(jnp.abs(g[..., -2:, :]).max()) == 0.0
+
+    nh = np.asarray(masked_istft_nhwc_pallas(
+        re[:, 0], im[:, 0], jnp.asarray(mask)[:, 0].transpose(0, 2, 3, 1), 4, True))
+    np.testing.assert_allclose(nh, ref[:, 0], atol=2e-4, rtol=1e-4)
+
+
+def test_bwd_xla_oracle_matches_fused_backward():
+    """_bwd_xla is the plain-XLA backward kept for on-TPU kernel debugging;
+    pin it against the fused Pallas backward so it cannot rot."""
+    from spatialaudiogen_tpu.ops.pallas_kernels import (
+        _backward_pallas,
+        _bwd_xla,
+    )
+
+    re, im, mask = _inputs(b=2, tracks=12, wind=256, seed=3)  # multi-tile
+    rng = np.random.RandomState(4)
+    t = re.shape[2]
+    out_len = (t // 4) * 256 - 3 * 64
+    g = jnp.asarray(rng.randn(2, 1, 12, out_len).astype(np.float32))
+    fused = _backward_pallas(re, im, mask, g, 4, True, "highest")
+    oracle = _bwd_xla(4, (re, im, mask), g)
+    for a, b_ in zip(fused, oracle):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4,
+                                   rtol=1e-4)

@@ -101,6 +101,7 @@ class Feeder:
         self._threads: list = []
         self._stop = threading.Event()
         self._starved = threading.Event()
+        self._errors: list = []  # (worker_id, exception) from dead workers
         self._n_live = 0
         self._lock = threading.Lock()
 
@@ -141,6 +142,11 @@ class Feeder:
                     pass
                 t.join(timeout=0.05)
         self._threads = []
+        while True:  # chunks enqueued just before the last worker exited
+            try:     # must not leak into a restarted feeder's batches
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
 
     def _worker_main(self, worker_id: int):
         try:
@@ -203,6 +209,11 @@ class Feeder:
                             continue
                     if self._stop.is_set():
                         return
+        except Exception as exc:  # noqa: BLE001 — surfaced in batches()
+            # A dying worker must not be silent: eval would finish on
+            # truncated data and train would spin on an empty queue forever.
+            with self._lock:
+                self._errors.append((worker_id, exc))
         finally:
             with self._lock:
                 self._n_live -= 1
@@ -210,6 +221,15 @@ class Feeder:
     def _exhausted(self) -> bool:
         with self._lock:
             return self._n_live <= 0
+
+    def _raise_worker_errors(self):
+        with self._lock:
+            errors = list(self._errors)
+        if errors:
+            wid, exc = errors[0]
+            raise RuntimeError(
+                f"feeder worker {wid} died ({len(errors)} total): "
+                f"{type(exc).__name__}: {exc}") from exc
 
     # --- batch iteration ---
     def batches(self):
@@ -220,12 +240,23 @@ class Feeder:
             try:
                 items.append(self._queue.get(timeout=0.2))
             except queue.Empty:
+                self._raise_worker_errors()
                 if self._starved.is_set():
                     raise RuntimeError(
                         "Feeder starved: every candidate chunk was filtered "
                         "out (check skip_silence_thr vs the dataset's "
                         "audio_pow.lst levels).")
                 if self.for_eval and self._exhausted():
+                    # Drain chunks enqueued between our Empty and the last
+                    # worker's exit (tail race) before finishing the pass.
+                    while True:
+                        try:
+                            items.append(self._queue.get_nowait())
+                        except queue.Empty:
+                            break
+                        if len(items) == self.batch_size:
+                            yield self._collate(items)
+                            items = []
                     if items:
                         yield self._collate(items)
                     return

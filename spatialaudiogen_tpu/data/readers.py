@@ -22,6 +22,7 @@ import os
 import numpy as np
 
 from spatialaudiogen_tpu.ambisonics.rotation import rotate_ambisonics
+from spatialaudiogen_tpu.dsp.geometry import ModelGeometry
 from spatialaudiogen_tpu.utils.io_audio import load_wav, wav_info
 
 
@@ -181,14 +182,26 @@ class VideoFrameReader:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         return out if n == len(frame_nos) else None
 
+    def frame_indices(self, start_time: float, size: int) -> list:
+        """Raw on-disk frame numbers for a window, clamped at the last frame.
+
+        Frames are stored at RAW_RATE; requested rates below it subsample
+        (step RAW_RATE/rate). The reference's FrameReader.get_by_index
+        (video.py:172-181) indexed at the requested fps and so read wrong
+        frames for fps != 10 — a plain bug, fixed here; for rate == RAW_RATE
+        the indices are bit-identical to the reference's.
+        """
+        ss = max(int(start_time * self.RAW_RATE), 0)
+        step = self.RAW_RATE / self.rate
+        return [min(ss + int(i * step), self.num_frames - 1)
+                for i in range(size)]
+
     def get_by_index(self, start_time: float, size: int,
                      rotation: float | None = None) -> np.ndarray:
-        ss = max(int(start_time * self.rate), 0)
         # rotate the equirect view horizontally with the audio rotation
         roll = (-int(rotation / (2.0 * np.pi) * self.frame_shape[1])
                 if rotation is not None else 0)
-        frame_nos = [min(fno, self.num_frames - 1)  # clamp at the last frame
-                     for fno in range(ss, ss + size)]
+        frame_nos = self.frame_indices(start_time, size)
         # the native path rolls raw pixels pre-prep; only valid when
         # img_prep preserves width (both in-repo preps are elementwise)
         native_ok = (self._native is not None and
@@ -216,6 +229,9 @@ class FlowFrameReader:
 
     def __init__(self, flow_dir: str, flow_lims_fn: str, rate: float | None = None,
                  flow_prep=None):
+        # `flow_prep` is accepted for reference signature parity but, like
+        # the reference (feeder.py:141-143 only probes a dummy frame with
+        # it; get_by_index never applies it), it is NOT applied to chunks.
         self.reader = VideoFrameReader(flow_dir, rate=rate)
         self.lims = np.load(flow_lims_fn)
         self.rate = self.reader.rate
@@ -225,10 +241,14 @@ class FlowFrameReader:
     def get_by_index(self, start_time: float, size: int,
                      rotation: float | None = None) -> np.ndarray:
         chunk = self.reader.get_by_index(start_time, size, rotation).astype(np.float32)
-        ss = max(int(start_time * self.rate), 0)
-        t = chunk.shape[0]
-        m_min = self.lims[ss: ss + t, 0].reshape((-1, 1, 1))
-        m_max = self.lims[ss: ss + t, 1].reshape((-1, 1, 1))
+        # per-frame limits follow the SAME (clamped, raw-rate) frame indices
+        # as the decoded frames — the reference sliced lims[ss:ss+t]
+        # unclamped and crashed on windows overrunning the frame count
+        # (plain bug, fixed; identical for in-range windows)
+        idx = np.minimum(self.reader.frame_indices(start_time, size),
+                         len(self.lims) - 1)
+        m_min = self.lims[idx, 0].reshape((-1, 1, 1))
+        m_max = self.lims[idx, 1].reshape((-1, 1, 1))
         mag = chunk[:, :, :, 2] * (m_max - m_min) / 255.0 + m_min
         ang = chunk[:, :, :, 0] * (2 * np.pi) / 255.0
         out = np.empty_like(chunk)
@@ -301,8 +321,11 @@ class SampleReader:
         self.context = context
         self.audio_rate = audio_rate
         self.video_rate = video_rate
-        self.audio_size = int(snd_dur) + int(snd_ctx) - 1
-        self.video_size = int(vid_dur)
+        # window sizes come from the single source of truth (dsp.geometry),
+        # not re-derived index math (CLAUDE.md convention)
+        _g = ModelGeometry(ambi_order, audio_rate, video_rate, context, duration)
+        self.audio_size = _g.snd_size
+        self.video_size = _g.vid_dur
         self.random_rotations = random_rotations
 
         # candidate chunk start times from the precomputed power index

@@ -28,6 +28,7 @@ from spatialaudiogen_tpu.config import TrainConfig
 from spatialaudiogen_tpu.data.pipeline import Feeder
 from spatialaudiogen_tpu.eval.host_metrics import compute_envelope_dist, compute_mel_lsd
 from spatialaudiogen_tpu.models import SptAudioGen
+from spatialaudiogen_tpu.models.metrics import METRIC_SCALES
 from spatialaudiogen_tpu.train.checkpoint import restore_checkpoint
 from spatialaudiogen_tpu.train.lr import make_optimizer
 from spatialaudiogen_tpu.train.state import create_train_state
@@ -118,7 +119,14 @@ class Evaluator:
         return out, n
 
     def _host_metrics(self, sample):
-        """Per-sample host metric computation (runs in the worker pool)."""
+        """Per-sample host metric computation (runs in the worker pool).
+
+        Parity note: like the reference (eval.py:145-185 consumes the RAW
+        per-sample `*_ps` tensors; model.py:110-155 applies audio_mask only
+        to the batch aggregates), the per-sample records here are unmasked —
+        masked channels contribute to the per-channel columns and the
+        3-channel means. Only EMD applies the layout mask (eval.py:188-190).
+        """
         sid, mono, gt, pred, layout, stft_d, lsd, mse, snr = sample
         rec = OrderedDict()
         rec["stft/avg"] = float(np.mean(stft_d))
@@ -168,13 +176,12 @@ class Evaluator:
                     pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
                     pred, mono, target = map(np.asarray, (pred, mono, target))
                     ps = {k: np.asarray(v) for k, v in per_sample.items()}
-                    scales = {"stft": 100.0, "mse": 5e3, "lsd": 1.0, "snr": 1.0}
                     for smp in range(n_valid):
                         sample = (batch["id"][smp], mono[smp], target[smp], pred[smp],
                                   batch["audio_mask"][smp],
-                                  ps["stft"][smp] * scales["stft"],
+                                  ps["stft"][smp] * METRIC_SCALES["stft"],
                                   ps["lsd"][smp],
-                                  ps["mse"][smp] * scales["mse"],
+                                  ps["mse"][smp] * METRIC_SCALES["mse"],
                                   ps["snr"][smp])
                         futures.append(pool.submit(self._host_metrics, sample))
                     if print_every and it % print_every == 0:

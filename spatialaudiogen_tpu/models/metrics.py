@@ -22,6 +22,12 @@ EPS_LSD = 1e-2
 EPS_SNR = 1e-1
 
 
+# Reporting scales applied to the per-sample metrics (model.py:127-145:
+# stft x100, mse x5e3); shared with eval.evaluator so eval-detailed.txt and
+# the on-device aggregates cannot drift apart.
+METRIC_SCALES = {"stft": 100.0, "lsd": 1.0, "mse": 5e3, "snr": 1.0}
+
+
 def stft_mse_ps(gt, pred, window: int, overlap: int, precision="highest"):
     """Per-sample per-channel STFT MSE: (B, N, C) x2 -> (B, C)."""
     gr, gi = stft_for_loss_real(gt, window, overlap, precision)
@@ -71,7 +77,7 @@ def evaluation_metrics(pred, target, mask_channels, audio_rate: int,
         "mse": temporal_mse_ps(target, pred),
         "snr": temporal_snr_ps(target, pred),
     }
-    scales = {"stft": 100.0, "lsd": 1.0, "mse": 5e3, "snr": 1.0}
+    scales = METRIC_SCALES
 
     metrics = {}
     n_out = pred.shape[2]

@@ -62,3 +62,24 @@ def test_activation_parity_tool_self_roundtrip(tmp_path):
     assert rc == 0 and os.path.exists(goldens)
     rc = compare_activations.main([model_dir, goldens, "--atol", "1e-5"])
     assert rc == 0
+
+
+def test_feeder_worker_death_raises(tmp_path):
+    """A dying worker (e.g. corrupt media) must surface in batches() as a
+    RuntimeError — not a silent train-mode hang or a truncated eval pass."""
+    db = str(tmp_path / "deathdb")
+    make_synthetic_dataset(db, n_videos=2, duration=2.0, frame_hw=(32, 64), seed=6)
+    # corrupt one video's ambix wav so its SampleReader raises mid-pass
+    bad = os.path.join(db, "synth001", "ambix", "000000.wav")
+    with open(bad, "wb") as f:
+        f.write(b"RIFFgarbage")
+    feeder = Feeder(db, ambi_order=1, audio_rate=48000, video_rate=10,
+                    context=1.0, duration=0.1, return_video=False,
+                    batch_size=2, n_workers=2, for_eval=True)
+    feeder.start()
+    try:
+        with pytest.raises(RuntimeError, match="feeder worker"):
+            for _ in feeder.batches():
+                pass
+    finally:
+        feeder.stop()

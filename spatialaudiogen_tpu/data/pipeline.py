@@ -125,6 +125,11 @@ class Feeder:
     def start(self):
         assert not self._threads, "feeder already started"
         self._stop.clear()
+        # A restarted feeder must not re-raise the previous pass's worker
+        # errors / starvation on its first empty-queue poll.
+        self._starved.clear()
+        with self._lock:
+            self._errors = []
         self._n_live = self.n_workers
         for i in range(self.n_workers):
             t = threading.Thread(target=self._worker_main, args=(i,), daemon=True)

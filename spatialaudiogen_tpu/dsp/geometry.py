@@ -63,7 +63,11 @@ class ModelGeometry:
 
     @property
     def vid_dur(self) -> int:
-        return int(self.sample_duration * self.video_rate)
+        # Tolerance-round before truncating: 2.9 * 10 == 28.999999999999996
+        # must be 29 frames, matching the validity check in
+        # SptAudioGenConfig.__post_init__ (one rule for both places).
+        v = self.sample_duration * self.video_rate
+        return int(round(v) if abs(v - round(v)) < 1e-6 else v)
 
     @property
     def wind_size(self) -> int:

@@ -111,23 +111,35 @@ def prepare_video(inp_fn: str, stereopsis: str, projection: str, out_fn: str,
 
 def extract_frames(audio_fn: str, video_fn: str | None, frames_dir: str,
                    rate: int = 48000, video_rate: float = 10.0):
-    """Split a prepared 4-channel wav into 1 s chunks and a video into jpgs."""
+    """Split a prepared 4-channel wav into 1 s chunks and a video into jpgs.
+
+    Both streams are truncated to ``int(min(audio_dur, video_dur))`` seconds
+    like the reference (scraping/preprocess.py:123-124 duration_secs =
+    int(min(...))), so the on-disk layout matches for A/V-length-mismatched
+    videos instead of the audio chunks outrunning the jpgs.
+    """
     audio_dir = os.path.join(frames_dir, "ambix")
     os.makedirs(audio_dir, exist_ok=True)
     data, _ = load_wav(audio_fn, rate)
     n_secs = data.shape[0] // rate
+
+    reader = None
+    if video_fn is not None:
+        from spatialaudiogen_tpu.utils.io_video import BasicVideoReader
+
+        reader = BasicVideoReader(video_fn, rate=video_rate)
+        if reader.duration:
+            n_secs = min(n_secs, int(reader.duration))
+
     for i in range(n_secs):
         save_wav(os.path.join(audio_dir, f"{i:06d}.wav"),
                  data[i * rate: (i + 1) * rate], rate)
 
-    if video_fn is not None:
+    if reader is not None:
         from PIL import Image
-
-        from spatialaudiogen_tpu.utils.io_video import BasicVideoReader
 
         video_dir = os.path.join(frames_dir, "video")
         os.makedirs(video_dir, exist_ok=True)
-        reader = BasicVideoReader(video_fn, rate=video_rate)
         n_frames = int(video_rate * n_secs)
         for i in range(n_frames):
             frame = reader.get()
@@ -153,12 +165,41 @@ def compute_audio_pow(frames_dir: str, rate: int = 48000):
     return out_fn
 
 
+def flow_frame_rgb(flow_frame: np.ndarray):
+    """Encode one (H, W, 2) float flow field exactly like the reference
+    (scraping/preprocess.py:185-199):
+
+      * ``ang = arctan2(fy, fx) + pi`` — NOT mod 2pi. Decoding with the
+        FlowReader formula (feeder.py:156-160) therefore yields pi-rotated
+        vectors; that is the convention every released flow checkpoint was
+        trained on, so the encoder reproduces it bit-for-bit.
+      * angles are zeroed where ``mag < 0.005``;
+      * ``m_max`` is clamped to ``m_min + 1`` when the range is < 1, and the
+        flow_limits row stores the CLAMPED pair;
+      * uint8 assignment truncates (C cast), no rounding.
+
+    Returns (rgb uint8 (H, W, 3), (m_min, m_max)).
+    """
+    fx, fy = flow_frame[:, :, 0], flow_frame[:, :, 1]
+    mag = np.sqrt(fx ** 2 + fy ** 2)
+    ang = np.arctan2(fy, fx) + np.pi
+    ang[mag < 0.005] = 0
+    m_min, m_max = float(mag.min()), float(mag.max())
+    if m_max - m_min < 1:  # avoid 0 division (preprocess.py:190-191)
+        m_max = m_min + 1
+    rgb = np.zeros(flow_frame.shape[:2] + (3,), np.uint8)
+    rgb[:, :, 0] = ang * 255.0 / (np.pi * 2.0)
+    rgb[:, :, 2] = (mag - m_min) / (m_max - m_min) * 255.0
+    return rgb, (m_min, m_max)
+
+
 def compress_flow(flow: np.ndarray, flow_dir: str):
     """Store (T, H, W, 2) float flow as angle/magnitude jpgs + limits.
 
-    Encoding matches what FlowFrameReader decodes (readers.py): jpg ch0 =
-    angle quantized over [0, 2pi), ch2 = magnitude normalized per frame by
-    flow_limits.npy rows (min, max).
+    Byte-compatible with reference-made artifacts (the per-frame encoding is
+    flow_frame_rgb; scraping/preprocess.py:185-204): jpg ch0 = angle
+    quantized over [0, 2pi] with the atan2+pi convention, ch2 = magnitude
+    normalized per frame by flow_limits.npy rows (min, clamped max).
     """
     from PIL import Image
 
@@ -166,22 +207,27 @@ def compress_flow(flow: np.ndarray, flow_dir: str):
     n = flow.shape[0]
     lims = np.zeros((n, 2), np.float32)
     for i in range(n):
-        fx, fy = flow[i, :, :, 0], flow[i, :, :, 1]
-        mag = np.sqrt(fx ** 2 + fy ** 2)
-        ang = np.arctan2(fy, fx) % (2 * np.pi)
-        m_min, m_max = float(mag.min()), float(mag.max())
-        lims[i] = (m_min, m_max)
-        scale = (m_max - m_min) or 1.0
-        img = np.zeros(flow.shape[1:3] + (3,), np.uint8)
-        img[:, :, 0] = np.clip(ang * 255 / (2 * np.pi), 0, 255)
-        img[:, :, 2] = np.clip((mag - m_min) * 255 / scale, 0, 255)
-        Image.fromarray(img).save(os.path.join(flow_dir, f"{i:06d}.jpg"), quality=95)
+        rgb, lims[i] = flow_frame_rgb(flow[i])
+        Image.fromarray(rgb).save(os.path.join(flow_dir, f"{i:06d}.jpg"), quality=95)
     np.save(os.path.join(flow_dir, "flow_limits.npy"), lims)
     return lims
 
 
+HR_SHAPE = (1080, 1920)  # deployment-mux resolution (preprocess.py:253)
+HR_RATE = 30
+
+
 def preprocess_video_worker(job: dict):
-    """One video end-to-end (the per-process unit of the ETL pool)."""
+    """One video end-to-end (the per-process unit of the ETL pool).
+
+    Covers every per-video stage the reference's worker runs
+    (preprocess.py:239-264): ambisonics remap, low-res video, optional HR
+    video (1080x1920 @ 30 fps for deployment muxing), frame extraction,
+    audio power index, and — when ``job["flow"]`` is set — optical flow,
+    so one `sag-preprocess` invocation yields the complete frames layout
+    including ``flow/`` and the pool parallelism covers the most expensive
+    stage.
+    """
     dry_run = job.get("dry_run", False)
     prepare_ambisonics(job["audio_fn"], job["prep_audio_fn"], job["codec"],
                        dry_run=dry_run)
@@ -200,10 +246,27 @@ def preprocess_video_worker(job: dict):
         prepare_video(job["video_fn"], job.get("stereopsis", "MONO"),
                       job.get("projection", "ER"), job["prep_video_fn"],
                       in_shape=in_shape, dry_run=dry_run)
-    if not job.get("dry_run"):
+        if job.get("prep_hr_video_fn"):
+            # second 1080p@30 render for `sag-deploy --save_video`
+            # (preprocess.py:250-256 --prep_hr_video)
+            prepare_video(job["video_fn"], job.get("stereopsis", "MONO"),
+                          job.get("projection", "ER"), job["prep_hr_video_fn"],
+                          out_shape=HR_SHAPE, out_rate=HR_RATE,
+                          in_shape=in_shape, dry_run=dry_run)
+    if not dry_run:
         extract_frames(job["prep_audio_fn"], job.get("prep_video_fn"),
                        job["frames_dir"])
         compute_audio_pow(job["frames_dir"])
+        if job.get("flow") and job.get("prep_video_fn"):
+            # flow inside the worker like the reference (preprocess.py:264),
+            # so the pool parallelism covers it
+            from spatialaudiogen_tpu.etl.flow import ExternalFlowModel, flow_for_frames
+
+            model = (ExternalFlowModel(job["flow"])
+                     if job["flow"] != "farneback" else None)
+            flow_for_frames(os.path.join(job["frames_dir"], "video"),
+                            os.path.join(job["frames_dir"], "flow"),
+                            model=model)
     return job["frames_dir"]
 
 
@@ -216,7 +279,8 @@ def preprocess_all(jobs: list, n_workers: int = 4):
 
 
 def build_jobs(db_lst_fn: str, orig_dir: str, prep_dir: str, frames_dir: str,
-               low_res: bool = False, dry_run: bool = False) -> list:
+               low_res: bool = False, dry_run: bool = False,
+               prep_hr_dir: str | None = None, flow: str | None = None) -> list:
     """Per-video job dicts from a downloads dir (preprocess.py:268-273).
 
     Downloaded streams are named `<id>.audio.f<fmt>.<ext>` / `<id>.video.<ext>`
@@ -263,6 +327,11 @@ def build_jobs(db_lst_fn: str, orig_dir: str, prep_dir: str, frames_dir: str,
             job["prep_video_fn"] = os.path.join(prep_dir, f"{yid}-video.mp4")
             job["stereopsis"] = video_meta[yid][1]
             job["projection"] = video_meta[yid][2]
+            if prep_hr_dir:
+                job["prep_hr_video_fn"] = os.path.join(
+                    prep_hr_dir, f"{yid}-video.mp4")
+            if flow:
+                job["flow"] = flow
         jobs.append(job)
     return jobs
 
@@ -280,15 +349,32 @@ def main(argv=None) -> None:
     parser.add_argument("--output_frames_dir", default="data/frames")
     parser.add_argument("--num_workers", default=4, type=int)
     parser.add_argument("--low_res", action="store_true")
+    parser.add_argument("--prep_hr_video", action="store_true",
+                        help="Also render 1080x1920@30 videos for deployment "
+                             "muxing (reference preprocess.py:250-256).")
+    parser.add_argument("--output_prep_hr_dir", default="data/preproc-hr")
+    parser.add_argument("--flow", default=None,
+                        help="Compute optical flow inside the worker pool: "
+                             "'farneback' for the built-in OpenCV estimator, "
+                             "or a command template with {frames_dir} and "
+                             "{output_fn} placeholders (an external model; "
+                             "reference preprocess.py:264 --flownet2_dir).")
     parser.add_argument("--dry_run", action="store_true",
                         help="Print the ffmpeg commands without running them.")
     args = parser.parse_args(argv)
+    if args.low_res:
+        assert not args.prep_hr_video, \
+            "HR prep needs the full-res downloads (preprocess.py:223-224)"
 
     os.makedirs(args.output_prep_dir, exist_ok=True)
     os.makedirs(args.output_frames_dir, exist_ok=True)
+    if args.prep_hr_video:
+        os.makedirs(args.output_prep_hr_dir, exist_ok=True)
     jobs = build_jobs(args.db_list, args.orig_dir, args.output_prep_dir,
                       args.output_frames_dir, low_res=args.low_res,
-                      dry_run=args.dry_run)
+                      dry_run=args.dry_run,
+                      prep_hr_dir=args.output_prep_hr_dir if args.prep_hr_video else None,
+                      flow=args.flow)
     print(f"{len(jobs)} videos to preprocess")
     preprocess_all(jobs, n_workers=1 if args.dry_run else args.num_workers)
 

@@ -52,7 +52,8 @@ class Evaluator:
     def __init__(self, model_dir: str, subset_fn: str | None = None,
                  batch_size: int = EVAL_BATCH, db_dir: str | None = None,
                  n_workers: int = 4, emd_ang_res: float = 30,
-                 mesh=None, compute_dtype: str | None = None):
+                 mesh=None, compute_dtype: str | None = None,
+                 shard_id: int | None = None, num_shards: int | None = None):
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         if db_dir is not None:
@@ -74,13 +75,20 @@ class Evaluator:
             self._batch_sharding = batch_sharding(mesh)
 
         tx = make_optimizer()
+        # multi-host eval: each process scores a disjoint video shard
+        # (mirrors train/trainer.py; reference analogue is the per-thread
+        # split, feeder.py:232-234) — without this, every host would
+        # duplicate the full sample set.
+        self.shard_id = jax.process_index() if shard_id is None else shard_id
+        self.num_shards = jax.process_count() if num_shards is None else num_shards
         self.feeder = Feeder(
             self.cfg.db_dir, subset_fn=subset_fn, ambi_order=self.cfg.ambi_order,
             audio_rate=self.cfg.audio_rate, video_rate=self.cfg.video_rate,
             context=self.cfg.context, duration=EVAL_DURATION,
             return_video="video" in self.cfg.encoders,
             return_flow="flow" in self.cfg.encoders,
-            batch_size=batch_size, n_workers=n_workers, for_eval=True)
+            batch_size=batch_size, n_workers=n_workers, for_eval=True,
+            shard_id=self.shard_id, num_shards=self.num_shards)
 
         example = self._example_batch()
         state = create_train_state(self.model, tx, jax.random.PRNGKey(0), example)
@@ -158,14 +166,45 @@ class Evaluator:
         return sid, rec
 
     def run(self, output_fn: str | None = None, host_threads: int = 8,
-            print_every: int = 5, max_batches: int | None = None):
+            print_every: int = 5, max_batches: int | None = None,
+            max_inflight: int | None = None, flush_every: int = 64):
+        """One eval pass. Memory- and crash-bounded (reference eval.py:210-215
+        dumps periodically): at most ``max_inflight`` (default 2x
+        host_threads + one batch) per-sample host-metric futures — each
+        holding ~100 KB of mono/gt/pred audio — are in flight at once, and
+        completed records stream to ``output_fn`` every ``flush_every``
+        results, so a crash at sample N loses at most the unflushed tail
+        instead of all N rows.
+        """
         output_fn = output_fn or os.path.join(self.cfg.model_dir, "eval-detailed.txt")
+        if max_inflight is None:
+            max_inflight = 2 * host_threads + self.batch_size
         results: list = []
+        n_scored = 0
         self.feeder.start()
         t_start = time.time()
         try:
-            with ThreadPoolExecutor(max_workers=host_threads) as pool:
-                futures = []
+            with open(output_fn, "w") as out, \
+                    ThreadPoolExecutor(max_workers=host_threads) as pool:
+                out.write("SampleID | {}\n".format(" ".join(ALL_METRICS)))
+                from collections import deque
+
+                futures: deque = deque()
+
+                def drain(limit: int):
+                    """Retire futures (in submit order) down to `limit`
+                    outstanding, then opportunistically retire any further
+                    already-done head-of-queue entries."""
+                    nonlocal n_scored
+                    while futures and (len(futures) > limit or futures[0].done()):
+                        sid, rec = futures.popleft().result()
+                        results.append((sid, rec))
+                        out.write("{} | {}\n".format(
+                            sid, " ".join(str(rec[m]) for m in ALL_METRICS)))
+                        n_scored += 1
+                        if n_scored % flush_every == 0:
+                            out.flush()
+
                 for it, batch in enumerate(self.feeder.batches()):
                     if max_batches is not None and it >= max_batches:
                         break
@@ -184,22 +223,15 @@ class Evaluator:
                                   ps["mse"][smp] * METRIC_SCALES["mse"],
                                   ps["snr"][smp])
                         futures.append(pool.submit(self._host_metrics, sample))
+                    drain(max_inflight)
                     if print_every and it % print_every == 0:
-                        done = sum(f.done() for f in futures)
-                        print(f"eval: batch {it}, {len(futures)} samples queued, "
-                              f"{done} scored, {time.time() - t_start:.1f}s")
-                results = [f.result() for f in futures]
+                        print(f"eval: batch {it}, {len(futures)} samples in "
+                              f"flight, {n_scored} scored, "
+                              f"{time.time() - t_start:.1f}s")
+                drain(0)
         finally:
             self.feeder.stop()
 
-        self._write_detailed(output_fn, results)
         summary = {m: float(np.mean([rec[m] for _, rec in results]))
                    for m in ALL_METRICS} if results else {}
         return summary, results
-
-    @staticmethod
-    def _write_detailed(fn: str, results: list):
-        with open(fn, "w") as f:
-            f.write("SampleID | {}\n".format(" ".join(ALL_METRICS)))
-            for sid, rec in results:
-                f.write("{} | {}\n".format(sid, " ".join(str(rec[m]) for m in ALL_METRICS)))

@@ -167,10 +167,12 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, enc: dict, use_audio: bool, vid_t: int = 1):
         parts = []
-        if use_audio and AUDIO in enc:
-            audio_t = enc[AUDIO].shape[1]
-        else:
-            audio_t = vid_t  # graceful generalization; reference requires audio
+        assert AUDIO in enc, (
+            "Bottleneck requires the audio encoder: visual-feature tiling is "
+            "defined over the audio time axis (the reference reads "
+            "x_enc[AUDIO] for it unconditionally, model.py:207,230); a "
+            "video-only alignment would be a silent behavior fork")
+        audio_t = enc[AUDIO].shape[1]
         for k in (AUDIO, VIDEO, FLOW):
             if k == AUDIO and not use_audio:
                 continue

@@ -138,15 +138,19 @@ class Trainer:
         # checkpoint runs instead of dying mid-step with no save. The
         # reference's analogue only caught python exceptions (train.py:227).
         self._stop_requested = False
-        prev_handler = None
+        # Restore-by-flag, not by value: signal.signal returns None when the
+        # prior handler was installed outside Python, and the trainer's
+        # handler (closing over this Trainer) must still be uninstalled then.
+        prev_handler, handler_installed = None, False
         try:
             prev_handler = signal.signal(
                 signal.SIGTERM,
                 lambda signum, frame: (
                     print("SIGTERM: stopping at step boundary, will checkpoint"),
                     self.request_stop()))
+            handler_installed = True
         except ValueError:  # not the main thread (e.g. under a test runner)
-            prev_handler = None
+            pass
         try:
             stream = device_prefetch(self.feeder.batches(), sharding=bshard)
             t_prev = time.perf_counter()
@@ -181,6 +185,8 @@ class Trainer:
             self.state = state
             self.feeder.stop()
             self.logger.close()
-            if prev_handler is not None:
-                signal.signal(signal.SIGTERM, prev_handler)
+            if handler_installed:
+                signal.signal(signal.SIGTERM,
+                              prev_handler if prev_handler is not None
+                              else signal.SIG_DFL)
         return state, step

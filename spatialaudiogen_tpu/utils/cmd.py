@@ -12,6 +12,7 @@ def run_system_cmd(cmd, check: bool = True, dry_run: bool = False):
     else:
         cmd_list = list(cmd)
     if dry_run:
+        print(" ".join(cmd_list))
         return " ".join(cmd_list), ""
     proc = subprocess.run(cmd_list, capture_output=True, text=True)
     if check and proc.returncode != 0:

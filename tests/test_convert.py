@@ -22,14 +22,22 @@ def test_normalize_names():
     assert normalize_tf_name("x/bn/moving_variance") == "x/bn/var"
 
 
-def _model_variables():
-    cfg = SptAudioGenConfig(encoders=("audio", "video"), separation="unet_mask",
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _model_variables(encoders=("audio", "video")):
+    # cached: the full-geometry init is seconds of CPU work and the three
+    # interop tests share it read-only per encoder config
+    cfg = SptAudioGenConfig(encoders=tuple(encoders), separation="unet_mask",
                             sep_num_tracks=4)
     g = cfg.geometry
     model = SptAudioGen(cfg)
     audio = np.zeros((1, g.snd_size, 1), np.float32)
-    video = np.zeros((1, 1, 64, 128, 3), np.float32)
-    return cfg, model, model.init(jax.random.PRNGKey(0), audio, video, train=False)
+    video = np.zeros((1, 1, 64, 128, 3), np.float32) if "video" in encoders else None
+    flow = np.zeros((1, 1, 64, 128, 3), np.float32) if "flow" in encoders else None
+    return cfg, model, model.init(jax.random.PRNGKey(0), audio, video, flow,
+                                  train=False)
 
 
 def test_every_param_has_unique_tf_name():
@@ -78,12 +86,23 @@ def _synth_tf_vars(variables, seed=0, perturb=0.01):
     return tf_vars
 
 
-def test_restore_tf_var_dict_roundtrip():
-    """Dump the model's own params under TF names, perturb, restore, compare."""
-    _, _, variables = _model_variables()
+ENCODER_CONFIGS = [("audio",), ("audio", "video"), ("audio", "video", "flow")]
+
+
+@pytest.mark.parametrize("encoders", ENCODER_CONFIGS,
+                         ids=["audio", "audio_rgb", "audio_rgb_flow"])
+def test_restore_tf_var_dict_roundtrip(encoders):
+    """Dump the model's own params under TF names, perturb, restore, compare.
+
+    Covers every released-model graph shape incl. the 3-encoder
+    audio+RGB+flow config (reference model.py:383-396 builds video_encoder
+    AND flow_encoder scopes; README.md:70-78)."""
+    _, _, variables = _model_variables(encoders)
     index = flax_path_index(variables)
     tf_name, get = _tf_name, _get
     tf_vars = _synth_tf_vars(variables)
+    if "flow" in encoders:
+        assert any(k.startswith("flow_encoder/") for k in tf_vars)
 
     new_vars, unmatched = restore_tf_var_dict(tf_vars, variables)
     assert unmatched == {}, unmatched
@@ -100,14 +119,19 @@ def test_restore_tf_var_dict_roundtrip():
         np.testing.assert_allclose(new, expected.reshape(new.shape), atol=1e-6)
 
 
-def test_import_tf_bundle_end_to_end(tmp_path):
+@pytest.mark.parametrize("encoders", ENCODER_CONFIGS,
+                         ids=["audio", "audio_rgb", "audio_rgb_flow"])
+def test_import_tf_bundle_end_to_end(tmp_path, encoders):
     """A TF1 TensorBundle on disk imports to an orbax checkpoint, TF-free.
 
-    Covers the released-model ingestion path (reference README.md:70-78):
-    write the flagship model's variables as a real model.ckpt-N bundle
-    (with Adam slot noise that must be filtered), run
-    tools/import_tf_checkpoint.py on it, and check the restored checkpoint
-    carries the bundle's values.
+    Covers the released-model ingestion path (reference README.md:70-78)
+    for every released graph shape — audio-only, audio+RGB, and the full
+    audio+RGB+flow 3-encoder config (model.py:391-396 flow_encoder scope):
+    write the model's variables as a real model.ckpt-N bundle (with Adam
+    slot noise that must be filtered), run tools/import_tf_checkpoint.py on
+    it, check the restored checkpoint carries 100% of the bundle's model
+    variables, and (3-encoder case) that tools/compare_activations.py
+    agrees with the source variables' activations on the imported weights.
     """
     import os
     import sys
@@ -115,7 +139,7 @@ def test_import_tf_bundle_end_to_end(tmp_path):
     from spatialaudiogen_tpu.config import TrainConfig
     from spatialaudiogen_tpu.utils.tf_bundle import save_tf_checkpoint
 
-    cfg, model, variables = _model_variables()
+    cfg, model, variables = _model_variables(encoders)
     tf_vars = _synth_tf_vars(variables, seed=3)
     n_model_vars = len(tf_vars)
     # optimizer slots + step bookkeeping the importer must drop
@@ -132,7 +156,7 @@ def test_import_tf_bundle_end_to_end(tmp_path):
 
     model_dir = str(tmp_path / "model")
     os.makedirs(model_dir)
-    tc = TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
+    tc = TrainConfig(model_dir=model_dir, encoders=tuple(encoders),
                      separation="unet_mask", num_sep_tracks=4,
                      frame_hw=(64, 128))
     tc.save(model_dir)
@@ -151,8 +175,10 @@ def test_import_tf_bundle_end_to_end(tmp_path):
 
     g = cfg.geometry
     example = {"ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
-               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
-               "video": np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)}
+               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32)}
+    for mod in ("video", "flow"):
+        if mod in encoders:
+            example[mod] = np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)
     target = create_train_state(model, make_optimizer(), jax.random.PRNGKey(1),
                                 example)
     state, step = restore_checkpoint(model_dir, target)
@@ -170,10 +196,38 @@ def test_import_tf_bundle_end_to_end(tmp_path):
         matched += 1
     assert matched == n_model_vars  # 100% of model variables mapped
 
+    if "flow" in encoders:
+        # compare_activations must agree: goldens = the source variables
+        # (restored directly from the tf dict) applied to random inputs;
+        # the tool runs the IMPORTED checkpoint on the same inputs.
+        from spatialaudiogen_tpu.models.convert import restore_tf_var_dict
 
-def test_export_to_tf_bundle_roundtrip(tmp_path):
+        import compare_activations
+
+        src_vars, unmatched = restore_tf_var_dict(
+            {k: v for k, v in tf_vars.items()
+             if "/Adam" not in k and k not in ("beta1_power", "global_step")},
+            variables)
+        assert unmatched == {}
+        rng = np.random.RandomState(11)
+        blob = {"input/audio":
+                rng.randn(2, g.snd_size, g.num_in_channels).astype(np.float32) * 0.1,
+                "input/video": rng.rand(2, g.vid_dur, 64, 128, 3).astype(np.float32) - 0.5,
+                "input/flow": rng.rand(2, g.vid_dur, 64, 128, 3).astype(np.float32) - 0.5}
+        _, ends = model.apply(src_vars, blob["input/audio"], blob["input/video"],
+                              blob["input/flow"], train=False, return_ends=True)
+        goldens_fn = str(tmp_path / "goldens.npz")
+        np.savez(goldens_fn, **blob,
+                 **{k: np.asarray(v) for k, v in ends.items()})
+        assert compare_activations.main([model_dir, goldens_fn, "--atol", "1e-4"]) == 0
+
+
+@pytest.mark.parametrize("encoders", ENCODER_CONFIGS,
+                         ids=["audio", "audio_rgb", "audio_rgb_flow"])
+def test_export_to_tf_bundle_roundtrip(tmp_path, encoders):
     """orbax checkpoint -> TF1 bundle -> back: the exported bundle carries
-    exactly the model's variables under reference TF names."""
+    exactly the model's variables under reference TF names, for every
+    released graph shape incl. audio+RGB+flow (model.py:391-396)."""
     import os
     import sys
 
@@ -186,16 +240,18 @@ def test_export_to_tf_bundle_roundtrip(tmp_path):
     from spatialaudiogen_tpu.train.state import create_train_state
     from spatialaudiogen_tpu.utils.tf_bundle import load_tf_checkpoint
 
-    cfg, model, variables = _model_variables()
+    cfg, model, variables = _model_variables(encoders)
     model_dir = str(tmp_path / "model")
     os.makedirs(model_dir)
-    TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
+    TrainConfig(model_dir=model_dir, encoders=tuple(encoders),
                 separation="unet_mask", num_sep_tracks=4,
                 frame_hw=(64, 128)).save(model_dir)
     g = cfg.geometry
     example = {"ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
-               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
-               "video": np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)}
+               "audio_mask": np.ones((1, g.num_ambi_channels), np.float32)}
+    for mod in ("video", "flow"):
+        if mod in encoders:
+            example[mod] = np.zeros((1, g.vid_dur, 64, 128, 3), np.float32)
     state = create_train_state(model, make_optimizer(), jax.random.PRNGKey(2),
                                example)
     save_checkpoint(model_dir, state, 77)

@@ -132,6 +132,36 @@ def test_download_pinned_formats_full_db(tmp_path):
     assert common and any(hi_video[u] != lo_video[u] for u in common)
 
 
+def test_flow_frame_rgb_matches_reference_formulas():
+    """Golden: the per-frame encoding is byte-identical to the reference's
+    (scraping/preprocess.py:185-199) — atan2+pi angles, sub-0.005-magnitude
+    angle zeroing, m_max clamped to m_min+1, truncating uint8 casts."""
+    from spatialaudiogen_tpu.etl.preprocess import flow_frame_rgb
+
+    rng = np.random.RandomState(7)
+    flow = rng.randn(16, 24, 2).astype(np.float32) * 3
+    flow[0, :4] = 1e-4  # below the 0.005 angle-zeroing threshold
+    rgb, (m_min, m_max) = flow_frame_rgb(flow)
+
+    # reference formulas, verbatim
+    mag = np.sqrt((flow ** 2).sum(axis=2))
+    ang = np.arctan2(flow[:, :, 1], flow[:, :, 0]) + np.pi
+    ang[mag < 0.005] = 0
+    r_min, r_max = mag.min(), mag.max()
+    if r_max - r_min < 1:
+        r_max = r_min + 1
+    ref = np.zeros(flow.shape[:2] + (3,), dtype=np.uint8)
+    ref[..., 0] = (ang * 255.0 / (np.pi * 2.0))
+    ref[..., 2] = (mag - r_min) / (r_max - r_min) * 255.0
+    np.testing.assert_array_equal(rgb, ref)
+    assert (m_min, m_max) == (r_min, r_max)
+
+    # the range clamp: near-constant magnitudes store (min, min + 1)
+    tiny = np.full((8, 8, 2), 0.1, np.float32)
+    _, (t_min, t_max) = flow_frame_rgb(tiny)
+    assert abs(t_max - (t_min + 1)) < 1e-6
+
+
 def test_flow_compress_decompress_roundtrip(tmp_path):
     # smooth fields (real optical flow is smooth; jpg would destroy noise)
     y, x = np.mgrid[0:32, 0:64]
@@ -145,12 +175,15 @@ def test_flow_compress_decompress_roundtrip(tmp_path):
 
     reader = FlowFrameReader(flow_dir, flow_dir + "/flow_limits.npy", rate=10)
     got = reader.get_by_index(0, 3)
-    # channel 2 is magnitude; 0/1 are x/y components (jpg-lossy)
+    # channel 2 is magnitude; 0/1 are x/y components. The atan2+pi store +
+    # the decoder's 0..2pi read yield PI-ROTATED vectors — exactly how the
+    # reference encode/decode pair behaves (preprocess.py:186 vs
+    # feeder.py:158-160), which is what flow checkpoints were trained on.
     mag = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
     assert got.shape == (3, 32, 64, 3)
     assert np.abs(got[..., 2] - mag).mean() < 0.25
-    assert np.abs(got[..., 0] - flow[..., 0]).mean() < 0.6
-    assert np.abs(got[..., 1] - flow[..., 1]).mean() < 0.6
+    assert np.abs(got[..., 0] - (-flow[..., 0])).mean() < 0.6
+    assert np.abs(got[..., 1] - (-flow[..., 1])).mean() < 0.6
 
 
 def test_extract_frames_and_audio_pow(tmp_path):
@@ -171,6 +204,90 @@ def test_extract_frames_and_audio_pow(tmp_path):
     assert len(lines) == 20  # (3-1)*10 windows
     t0, p0 = map(float, lines[0].split())
     assert t0 == 0.5 and p0 > 0.2
+
+
+def test_extract_frames_av_duration_sync(tmp_path):
+    """Both streams truncate to int(min(audio, video)) seconds
+    (reference preprocess.py:123-124): 5 s of audio + 2 s of video must
+    yield 2 wav chunks and 20 jpgs, not 5 wavs outrunning the frames."""
+    import os
+
+    from spatialaudiogen_tpu.utils.io_audio import save_wav
+    from spatialaudiogen_tpu.utils.io_video import VideoWriter
+
+    rng = np.random.RandomState(4)
+    wav_fn = str(tmp_path / "prep.wav")
+    save_wav(wav_fn, rng.randn(5 * 8000, 4) * 0.3, 8000)
+    video_fn = str(tmp_path / "prep.mp4")
+    writer = VideoWriter(video_fn, fps=10)
+    for i in range(20):  # 2 s @ 10 fps
+        writer.write_frame(np.full((32, 64, 3), i * 10, np.uint8))
+    writer.close()
+
+    frames_dir = str(tmp_path / "frames")
+    n = extract_frames(wav_fn, video_fn, frames_dir, rate=8000, video_rate=10)
+    assert n == 2
+    assert len(os.listdir(frames_dir + "/ambix")) == 2
+    # cv2 sometimes decodes one frame fewer than CAP_PROP_FRAME_COUNT
+    # reports; the sync property is that frames stop at 2 s worth
+    assert 19 <= len(os.listdir(frames_dir + "/video")) <= 20
+
+
+def test_preprocess_worker_hr_video_dry_run(tmp_path, capsys):
+    """--prep_hr_video emits a second 1080x1920@30 ffmpeg render into the HR
+    dir (reference preprocess.py:250-256)."""
+    from spatialaudiogen_tpu.etl.preprocess import preprocess_video_worker
+
+    job = {
+        "audio_fn": "a.webm", "prep_audio_fn": str(tmp_path / "p-ambix.m4a"),
+        "codec": "opus", "frames_dir": str(tmp_path / "frames"),
+        "video_fn": "v.mp4", "prep_video_fn": str(tmp_path / "p-video.mp4"),
+        "prep_hr_video_fn": str(tmp_path / "hr" / "p-video.mp4"),
+        "stereopsis": "MONO", "projection": "ER", "dry_run": True,
+    }
+    preprocess_video_worker(job)
+    out = capsys.readouterr().out
+    assert "scale=448:224" in out and "-r 10" in out      # training render
+    assert "scale=1920:1080" in out and "-r 30" in out    # HR deploy render
+    assert str(tmp_path / "hr") in out
+
+
+def test_preprocess_pool_includes_flow(tmp_path):
+    """One worker invocation yields the complete frames layout including
+    flow/ when job['flow'] is set (reference runs flow inside the worker,
+    preprocess.py:264)."""
+    import os
+
+    from spatialaudiogen_tpu.etl.preprocess import preprocess_all
+    from spatialaudiogen_tpu.utils.io_audio import save_wav
+    from spatialaudiogen_tpu.utils.io_video import VideoWriter
+
+    # pre-create the prepared streams so the ffmpeg stages skip-if-exists
+    # (no ffmpeg binary in the test environment)
+    rng = np.random.RandomState(5)
+    prep_audio = str(tmp_path / "vid-ambix.m4a")  # own RIFF codec reads any ext
+    save_wav(prep_audio, rng.randn(2 * 48000, 4) * 0.3, 48000)
+    prep_video = str(tmp_path / "vid-video.mp4")
+    writer = VideoWriter(prep_video, fps=10)
+    ys, xs = np.mgrid[0:48, 0:64]
+    for i in range(20):
+        blob = np.exp(-(((xs - 16 - 2 * i) ** 2 + (ys - 24) ** 2) / 40.0))
+        writer.write_frame(np.repeat((blob * 255).astype(np.uint8)[..., None], 3, -1))
+    writer.close()
+
+    frames_dir = str(tmp_path / "frames" / "vid")
+    job = {"audio_fn": prep_audio, "prep_audio_fn": prep_audio, "codec": "opus",
+           "video_fn": prep_video, "prep_video_fn": prep_video,
+           "frames_dir": frames_dir, "flow": "farneback"}
+    assert preprocess_all([job], n_workers=1) == [frames_dir]
+    assert len(os.listdir(os.path.join(frames_dir, "ambix"))) == 2
+    n_jpg = len(os.listdir(os.path.join(frames_dir, "video")))
+    assert 19 <= n_jpg <= 20  # cv2 may decode one frame short of its count
+    assert os.path.exists(os.path.join(frames_dir, "audio_pow.lst"))
+    flow_jpgs = [f for f in os.listdir(os.path.join(frames_dir, "flow"))
+                 if f.endswith(".jpg")]
+    assert len(flow_jpgs) == n_jpg
+    assert os.path.exists(os.path.join(frames_dir, "flow", "flow_limits.npy"))
 
 
 def test_build_jobs_from_downloads(tmp_path):

@@ -101,6 +101,104 @@ def test_evaluator_end_to_end(trained_model):
     assert all(np.isfinite(v) for v in agg.values())
 
 
+def test_evaluator_multihost_shard_union(trained_model):
+    """Sharded eval partitions the sample set: two (shard_id, 2) passes are
+    disjoint and union to the single-shard set (mirrors the trainer's
+    process sharding; reference per-thread analogue feeder.py:232-234)."""
+    root, model_dir = trained_model
+    full = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36,
+                     shard_id=0, num_shards=1)
+    _, full_res = full.run(host_threads=2, print_every=0,
+                           output_fn=os.path.join(model_dir, "eval-full.txt"))
+    shard_ids = []
+    for i in range(2):
+        ev = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36,
+                       shard_id=i, num_shards=2)
+        _, res = ev.run(host_threads=2, print_every=0,
+                        output_fn=os.path.join(model_dir, f"eval-shard{i}.txt"))
+        shard_ids.append({sid for sid, _ in res})
+    assert shard_ids[0] and shard_ids[1]
+    assert not (shard_ids[0] & shard_ids[1])
+    assert shard_ids[0] | shard_ids[1] == {sid for sid, _ in full_res}
+
+
+def test_evaluator_bounds_inflight_and_streams(trained_model, monkeypatch):
+    """With a slow host metric the eval loop BLOCKS at max_inflight instead
+    of queueing every sample's arrays, and completed rows stream to disk."""
+    import threading
+
+    root, model_dir = trained_model
+    ev = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36)
+    gate = threading.Event()
+    started = []
+    orig = Evaluator._host_metrics
+
+    def slow_metrics(self, sample):
+        started.append(sample[0])
+        gate.wait(timeout=30)
+        return orig(self, sample)
+
+    monkeypatch.setattr(Evaluator, "_host_metrics", slow_metrics)
+    out_fn = os.path.join(model_dir, "eval-stream.txt")
+    result = {}
+    t = threading.Thread(
+        target=lambda: result.update(
+            zip(("summary", "results"),
+                ev.run(output_fn=out_fn, host_threads=1, print_every=0,
+                       max_inflight=1, flush_every=1))))
+    t.start()
+    import time
+
+    try:
+        # wait out jit compile etc. until the first metric actually starts
+        deadline = time.time() + 120
+        while time.time() < deadline and not started:
+            time.sleep(0.05)
+        # run() is now blocked in drain() on the gated future: it must NOT
+        # race ahead submitting/starting further samples
+        time.sleep(0.5)
+        assert t.is_alive()
+        assert len(started) == 1
+    finally:
+        gate.set()  # always release, or the orphan thread poisons later tests
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert len(result["results"]) == 4
+    # every row was streamed (flush_every=1), in sample order
+    lines = open(out_fn).read().splitlines()
+    assert len(lines) == 5  # header + 4 samples
+    assert [ln.split(" | ")[0] for ln in lines[1:]] == [
+        sid for sid, _ in result["results"]]
+
+
+def test_evaluator_partial_file_on_crash(trained_model, monkeypatch):
+    """A crash mid-eval leaves the already-scored rows on disk (reference
+    dumps periodically, eval.py:210-215) instead of losing everything."""
+    import threading
+
+    root, model_dir = trained_model
+    ev = Evaluator(model_dir, batch_size=3, db_dir=root, emd_ang_res=36)
+    orig = Evaluator._host_metrics
+    calls = []
+    lock = threading.Lock()
+
+    def failing_metrics(self, sample):
+        with lock:
+            calls.append(sample[0])
+            n = len(calls)
+        if n == 4:
+            raise RuntimeError("injected host-metric crash")
+        return orig(self, sample)
+
+    monkeypatch.setattr(Evaluator, "_host_metrics", failing_metrics)
+    out_fn = os.path.join(model_dir, "eval-crash.txt")
+    with pytest.raises(RuntimeError, match="injected"):
+        ev.run(output_fn=out_fn, host_threads=1, print_every=0, flush_every=1)
+    lines = open(out_fn).read().splitlines()
+    assert lines[0].startswith("SampleID")
+    assert len(lines) == 4  # header + the 3 rows scored before the crash
+
+
 def test_evaluator_compute_dtype_override(trained_model):
     """--compute_dtype overrides the dtype recorded at training time: an
     f32-trained model evaluated under bfloat16 yields close (not identical)

@@ -9,7 +9,11 @@ Two numbers, one JSON line:
   * `e2e_realtime_factor`: MonoToAmbix.deploy() end to end over an on-disk
     frames dir — jpg/wav decode, window assembly, prefetch, device forward,
     fetch (the reference's deploy.py:90-152 workload). On this 1-CPU bench
-    VM it is host-feeder-bound; see PERF.md.
+    VM it is tunnel-H2D-bound; see PERF.md. Supporting fields make that
+    bound auditable: `e2e_audio_only` (no frames -> ~KB of H2D per batch),
+    `e2e_h2d_mb_per_batch` + `e2e_upload_bound` (measured upload-stage
+    occupancy -> the max e2e the link allows), and the direct link
+    measurement `h2d_link_mb_per_s` / `h2d_link_s_per_roundtrip`.
   * `tflops_per_sec` / `mfu_bf16_peak`: XLA cost-analysis FLOPs of the
     forward over measured device time, and that against a v5e's 197 TFLOP/s
     bf16 MXU peak.
@@ -84,56 +88,96 @@ def device_fwd_bench(bf16: bool = False):
     return realtime, tflops, g
 
 
-def _ensure_e2e_model_dir():
-    """Synthetic frames dir + random-init flagship checkpoint, built once."""
+E2E_AUDIO_BATCH = 128  # audio-only windows are tiny; amortize transfer latency
+
+
+def _make_checkpoint(model_dir: str, encoders, frame_hw=(224, 448)):
     import jax
 
     from spatialaudiogen_tpu.config import TrainConfig
-    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
     from spatialaudiogen_tpu.models import SptAudioGen
     from spatialaudiogen_tpu.train.checkpoint import save_checkpoint
     from spatialaudiogen_tpu.train.lr import make_optimizer
     from spatialaudiogen_tpu.train.state import create_train_state
 
+    os.makedirs(model_dir, exist_ok=True)
+    cfg = TrainConfig(model_dir=model_dir, encoders=encoders,
+                      separation="unet_mask", frame_hw=frame_hw)
+    cfg.save(model_dir)
+    model = SptAudioGen(cfg.model_config())
+    g = cfg.model_config().geometry
+    example = {
+        "ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
+        "audio_mask": np.ones((1, g.num_ambi_channels), np.float32)}
+    if "video" in encoders:
+        example["video"] = np.zeros((1, g.vid_dur) + tuple(frame_hw) + (3,),
+                                    np.float32)
+    state = create_train_state(model, make_optimizer(),
+                               jax.random.PRNGKey(0), example)
+    save_checkpoint(model_dir, state, 0)
+
+
+def _ensure_e2e_model_dir():
+    """Synthetic frames dir + random-init checkpoints (flagship audio+RGB
+    and audio-only), built once."""
+    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+
     db_dir = os.path.join(_E2E_DIR, "db")
     model_dir = os.path.join(_E2E_DIR, "model")
+    audio_model_dir = os.path.join(_E2E_DIR, "model_audio")
     if not os.path.exists(os.path.join(db_dir, "synth000")):
         make_synthetic_dataset(db_dir, n_videos=1, duration=E2E_CLIP_SECONDS,
                                frame_hw=(224, 448), seed=0)
     if not os.path.exists(os.path.join(model_dir, "checkpoints")):
-        os.makedirs(model_dir, exist_ok=True)
-        cfg = TrainConfig(model_dir=model_dir, encoders=("audio", "video"),
-                          separation="unet_mask", frame_hw=(224, 448))
-        cfg.save(model_dir)
-        model = SptAudioGen(cfg.model_config())
-        g = cfg.model_config().geometry
-        example = {
-            "ambix": np.zeros((1, g.snd_size, g.num_ambi_channels), np.float32),
-            "audio_mask": np.ones((1, g.num_ambi_channels), np.float32),
-            "video": np.zeros((1, g.vid_dur, 224, 448, 3), np.float32)}
-        state = create_train_state(model, make_optimizer(),
-                                   jax.random.PRNGKey(0), example)
-        save_checkpoint(model_dir, state, 0)
-    return db_dir, model_dir
+        _make_checkpoint(model_dir, ("audio", "video"))
+    if not os.path.exists(os.path.join(audio_model_dir, "checkpoints")):
+        _make_checkpoint(audio_model_dir, ("audio",))
+    return db_dir, model_dir, audio_model_dir
 
 
-def e2e_deploy_bench(runs: int = 2):
+def e2e_deploy_bench(model_dir: str, clip: str, batch_size: int,
+                     runs: int = 2):
     """Best of `runs` timed passes: the shared 1-CPU bench VM's decode
     throughput varies ~1.5x run to run (PERF.md), and best-of-N reports the
-    pipeline's capability rather than the VM's worst contention."""
+    pipeline's capability rather than the VM's worst contention. Returns
+    (realtime_factor, h2d_stats of the best pass)."""
     from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
 
-    db_dir, model_dir = _ensure_e2e_model_dir()
-    clip = os.path.join(db_dir, "synth000")
-    model = MonoToAmbix(model_dir, batch_size=E2E_BATCH)
+    model = MonoToAmbix(model_dir, batch_size=batch_size)
     out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)  # compile + warm cache
     assert np.isfinite(out).all()
-    best = float("inf")
+    best, stats = float("inf"), None
     for _ in range(runs):
         t0 = time.perf_counter()
         out = model.deploy(clip, 0.5, E2E_DEPLOY_SECONDS)
-        best = min(best, time.perf_counter() - t0)
-    return out.shape[0] / model.cfg.audio_rate / best
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, stats = dt, dict(model.h2d_stats)
+    return out.shape[0] / model.cfg.audio_rate / best, stats
+
+
+def measure_h2d_link(sizes=(1 << 20, 16 << 20), iters: int = 3):
+    """Direct host->device link measurement: put a buffer, force completion
+    by fetching a tiny on-device reduction (block_until_ready is unreliable
+    on the axon tunnel, PERF.md). Two sizes separate bandwidth from the
+    fixed per-roundtrip latency. Returns (MB/s, seconds/roundtrip)."""
+    import jax
+    import jax.numpy as jnp
+
+    touch = jax.jit(lambda x: jnp.sum(x[:: max(1, x.shape[0] // 64)]))
+    best = []
+    for sz in sizes:
+        arr = np.random.randint(0, 255, sz, np.uint8)
+        t = float("inf")
+        float(touch(jax.device_put(arr)))  # warm compile + channel
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(touch(jax.device_put(arr)))
+            t = min(t, time.perf_counter() - t0)
+        best.append(t)
+    bw = (sizes[1] - sizes[0]) / max(best[1] - best[0], 1e-9)  # bytes/s
+    lat = max(best[0] - sizes[0] / bw, 0.0)
+    return bw / 1e6, lat
 
 
 TRAIN_BATCH = 128  # best measured train batch (PERF.md scaling table)
@@ -170,7 +214,22 @@ def main():
 
     realtime, tflops, _ = device_fwd_bench()
     fast_realtime, _, _ = device_fwd_bench(bf16=True)
-    e2e = e2e_deploy_bench()
+
+    db_dir, model_dir, audio_model_dir = _ensure_e2e_model_dir()
+    clip = os.path.join(db_dir, "synth000")
+    e2e, h2d = e2e_deploy_bench(model_dir, clip, E2E_BATCH)
+    e2e_audio, _ = e2e_deploy_bench(audio_model_dir, clip, E2E_AUDIO_BATCH)
+    link_mbps, link_lat = measure_h2d_link()
+
+    # Upload-stage occupancy bound: even with free decode + free compute the
+    # flagship e2e cannot exceed audio-seconds-per-batch / upload-stage-time
+    # on this host's link. Close agreement with the measured e2e proves the
+    # figure is tunnel-limited, not pipeline-limited (PERF.md byte-flow).
+    audio_per_batch = E2E_BATCH * 0.1
+    mb_per_batch = h2d["bytes"] / max(h2d["batches"], 1) / 1e6
+    upload_s_per_batch = h2d["seconds"] / max(h2d["batches"], 1)
+    link_bound = audio_per_batch / max(upload_s_per_batch, 1e-9)
+
     train_f32 = train_bf16 = None
     try:
         train_f32 = round(train_bench(bf16=False), 1)
@@ -185,6 +244,11 @@ def main():
         "scope": "device_fwd",
         "bf16_realtime_factor": round(fast_realtime, 2),
         "e2e_realtime_factor": round(e2e, 2),
+        "e2e_audio_only": round(e2e_audio, 2),
+        "e2e_h2d_mb_per_batch": round(mb_per_batch, 2),
+        "e2e_upload_bound": round(link_bound, 2),
+        "h2d_link_mb_per_s": round(link_mbps, 1),
+        "h2d_link_s_per_roundtrip": round(link_lat, 4),
         "tflops_per_sec": round(tflops, 2),
         "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
         "train_samples_per_sec_f32": train_f32,

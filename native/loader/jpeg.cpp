@@ -115,9 +115,96 @@ int DecodeOne(const char* path, int* h, int* w, int* c, int roll,
   return 0;
 }
 
+// Decode one 4:2:0 jpg's raw coefficient planes into I420 layout (no color
+// conversion, no chroma upsampling): out holds Y (h*w) then U (h/2*w/2)
+// then V. Ships HALF the bytes of RGB888 over the host->device link; the
+// deploy graph upsamples + converts on device (deploy/deploy.py). Returns
+// 0 on success, <0 when the file is not a 2x2-subsampled YCbCr jpg or the
+// dims are not multiples of 16 (the iMCU granularity) — callers fall back
+// to the RGB path.
+int DecodeOneYuv420(const char* path, int h, int w, uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr err;
+  cinfo.err = jpeg_std_error(&err.pub);
+  err.pub.error_exit = ErrorExit;
+  err.pub.output_message = SilentOutput;
+  if (setjmp(err.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+
+  const bool is_420 =
+      cinfo.num_components == 3 && cinfo.jpeg_color_space == JCS_YCbCr &&
+      cinfo.comp_info[0].h_samp_factor == 2 &&
+      cinfo.comp_info[0].v_samp_factor == 2 &&
+      cinfo.comp_info[1].h_samp_factor == 1 &&
+      cinfo.comp_info[1].v_samp_factor == 1 &&
+      cinfo.comp_info[2].h_samp_factor == 1 &&
+      cinfo.comp_info[2].v_samp_factor == 1;
+  if (!is_420 || static_cast<int>(cinfo.image_height) != h ||
+      static_cast<int>(cinfo.image_width) != w || h % 16 || w % 16) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return -5;
+  }
+
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  uint8_t* yplane = out;
+  uint8_t* uplane = out + static_cast<size_t>(h) * w;
+  uint8_t* vplane = uplane + static_cast<size_t>(h / 2) * (w / 2);
+  JSAMPROW yrows[16], urows[8], vrows[8];
+  JSAMPARRAY planes[3] = {yrows, urows, vrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    const int base = cinfo.output_scanline;
+    for (int i = 0; i < 16; ++i)
+      yrows[i] = yplane + static_cast<size_t>(base + i) * w;
+    for (int i = 0; i < 8; ++i) {
+      urows[i] = uplane + static_cast<size_t>(base / 2 + i) * (w / 2);
+      vrows[i] = vplane + static_cast<size_t>(base / 2 + i) * (w / 2);
+    }
+    if (jpeg_read_raw_data(&cinfo, planes, 16) == 0) {
+      jpeg_abort_decompress(&cinfo);
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -6;
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Batch raw-YUV decode: `out` is (n, h*3/2, w) uint8 in per-frame I420
+// layout (Y plane, then the U plane packed into h/4 rows of width w, then
+// V). Returns the number of frames decoded; a short count means frame i
+// failed (caller falls back to RGB).
+int sag_jpeg_decode_batch_yuv420(const char* paths, int n, int h, int w,
+                                 uint8_t* out) {
+  const char* p = paths;
+  const size_t frame_bytes = static_cast<size_t>(h) * w * 3 / 2;
+  for (int i = 0; i < n; ++i) {
+    if (DecodeOneYuv420(p, h, w, out + i * frame_bytes) != 0) {
+      return i;
+    }
+    p += strlen(p) + 1;
+  }
+  return n;
+}
 
 int sag_jpeg_probe(const char* path, int* h, int* w, int* c) {
   return DecodeOne(path, h, w, c, 0, nullptr);

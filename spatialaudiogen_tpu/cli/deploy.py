@@ -37,6 +37,10 @@ def parse_arguments(argv=None):
                              "deploy of a bf16 one).")
     parser.add_argument("--crossfade", action="store_true",
                         help="Hann-blend half-offset passes at window seams.")
+    parser.add_argument("--rgb_frames", action="store_true",
+                        help="Force byte-exact RGB frame upload instead of "
+                             "the raw-4:2:0-planes fast path (half the H2D "
+                             "bytes, ~1.4/255 frame tolerance).")
     args = parser.parse_args(argv)
     if args.deploy_duration <= 0:
         args.deploy_duration = None
@@ -57,7 +61,8 @@ def main(argv=None):
 
         mesh = make_mesh(n_data=args.n_data, n_model=1)
     model = MonoToAmbix(args.model_dir, batch_size=args.batch_size, mesh=mesh,
-                        compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        yuv_frames=False if args.rgb_frames else None)
     print(f"Restored checkpoint step {model.restored_step}")
     print("Generating ambisonics...")
     ambi = model.deploy(args.input_folder, args.deploy_start, args.deploy_duration,

@@ -196,6 +196,38 @@ class VideoFrameReader:
         return [min(ss + int(i * step), self.num_frames - 1)
                 for i in range(size)]
 
+    def yuv420_supported(self) -> bool:
+        """True when frames can ship as raw 4:2:0 planes (native decoder
+        present, dims iMCU-aligned, first frame actually 2x2-subsampled)."""
+        from spatialaudiogen_tpu.utils.native import has_symbol
+
+        h, w, c = self.raw_shape
+        if not (has_symbol(self._native, "sag_jpeg_decode_batch_yuv420")
+                and c == 3 and h % 16 == 0 and w % 16 == 0):
+            return False
+        if not hasattr(self, "_yuv_probe"):
+            self._yuv_probe = self.get_yuv420_by_index(0.0, 1) is not None
+        return self._yuv_probe
+
+    def get_yuv420_by_index(self, start_time: float, size: int) -> np.ndarray | None:
+        """Window of raw I420 planes: (T, h*3/2, w) uint8 — Y (h rows), U
+        (h/4 rows), V (h/4 rows); half the bytes of RGB888. None when any
+        frame is not a 2x2 YCbCr jpg (caller falls back to get_by_index).
+        No roll/img_prep: this is the deploy upload fast path, conversion
+        happens on device (deploy/deploy.py fwd_span)."""
+        import ctypes
+
+        h, w, _ = self.raw_shape
+        frame_nos = self.frame_indices(start_time, size)
+        paths = b"\0".join(
+            os.path.join(self.video_folder, f"{fno:06d}.jpg").encode()
+            for fno in frame_nos) + b"\0"
+        out = np.empty((len(frame_nos), h * 3 // 2, w), np.uint8)
+        n = self._native.sag_jpeg_decode_batch_yuv420(
+            paths, len(frame_nos), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out if n == len(frame_nos) else None
+
     def get_by_index(self, start_time: float, size: int,
                      rotation: float | None = None) -> np.ndarray:
         # rotate the equirect view horizontally with the audio rotation

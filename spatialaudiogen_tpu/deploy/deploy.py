@@ -40,6 +40,63 @@ from spatialaudiogen_tpu.train.state import create_train_state
 DEPLOY_DURATION = 0.1  # deploy.py:49
 
 
+def _triangle_up2(c, axis: int):
+    """2x upsample along `axis` with libjpeg's "fancy" (3,1)/4 triangle
+    filter, edge-replicated (jdsample.c h2v2_fancy_upsample semantics)."""
+    import jax.numpy as jnp
+
+    axis = axis % c.ndim
+    n = c.shape[axis]
+    first = jnp.take(c, jnp.arange(1), axis=axis)
+    last = jnp.take(c, jnp.arange(n - 1, n), axis=axis)
+    prev = jnp.concatenate([first, jnp.take(c, jnp.arange(n - 1), axis=axis)], axis)
+    nxt = jnp.concatenate([jnp.take(c, jnp.arange(1, n), axis=axis), last], axis)
+    st = jnp.stack([(3.0 * c + prev) * 0.25, (3.0 * c + nxt) * 0.25],
+                   axis=axis + 1)
+    shape = list(c.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def yuv420_planes_to_rgb01(planes, height: int):
+    """(..., H*3/2, W) uint8 I420 planes -> (..., H, W, 3) float RGB in
+    [0, 1]. Chroma upsampled with the triangle filter and converted with
+    libjpeg's BT.601 full-range coefficients (jdcolor.c), so the result
+    matches the RGB decode path to ~1.4/255 (jpg fixed-point rounding)."""
+    import jax.numpy as jnp
+
+    h = height
+    w = planes.shape[-1]
+    y = planes[..., :h, :].astype(jnp.float32)
+    u = planes[..., h:h + h // 4, :].reshape(planes.shape[:-2] + (h // 2, w // 2))
+    v = planes[..., h + h // 4:, :].reshape(planes.shape[:-2] + (h // 2, w // 2))
+    u = _triangle_up2(_triangle_up2(u.astype(jnp.float32), -2), -1) - 128.0
+    v = _triangle_up2(_triangle_up2(v.astype(jnp.float32), -2), -1) - 128.0
+    r = y + 1.402 * v
+    g = y - 0.344136 * u - 0.714136 * v
+    b = y + 1.772 * u
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 255.0) / 255.0
+
+
+def host_rgb_to_i420(rgb: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8 -> (T, H*3/2, W) uint8 I420 (BT.601 full range,
+    2x2 box chroma). Emergency host fallback for frame dirs whose jpgs are
+    not 4:2:0; the native raw-plane decode is the fast path."""
+    t, h, w, _ = rgb.shape
+    f = rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.empty((t, h * 3 // 2, w), np.uint8)
+    out[:, :h] = np.clip(y + 0.5, 0, 255)
+    for plane, dst0 in ((u, h), (v, h + h // 4)):
+        sub = plane.reshape(t, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        out[:, dst0: dst0 + h // 4] = np.clip(
+            sub + 0.5, 0, 255).reshape(t, h // 4, w)
+    return out
+
+
 class MonoToAmbix:
     """Sliding-window deploy engine (reference W2XYZ, deploy.py:41-152).
 
@@ -51,7 +108,16 @@ class MonoToAmbix:
     """
 
     def __init__(self, model_dir: str, batch_size: int = 32, mesh=None,
-                 compute_dtype: str | None = None):
+                 compute_dtype: str | None = None,
+                 yuv_frames: bool | None = None):
+        # yuv_frames: ship frames as raw 4:2:0 planes (HALF the RGB888
+        # bytes over the H2D link) and convert to RGB on device. None =
+        # auto (on when the native raw decoder supports the frame dir);
+        # False forces the byte-exact RGB path. The YUV path matches RGB
+        # frames to ~1.4/255 (jpg fixed-point rounding; see
+        # yuv420_planes_to_rgb01) — inaudible on predictions; flip it off
+        # for bit-parity work.
+        self.yuv_frames = yuv_frames
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         self.cfg.sample_dur = DEPLOY_DURATION
@@ -100,12 +166,15 @@ class MonoToAmbix:
             """Forward over windows gathered on-device from one audio span.
 
             span: (L, n_in) f32; rel: (B,) i32 window start offsets into
-            span; valid: (B,) f32 lane mask; video_u8: (B, T, H, W, 3) uint8
-            or None. Padded lanes are zeroed (not dropped): the model runs
-            BatchNorm on batch statistics even at eval (the reference quirk,
-            models/resnet.py docstring), so real lanes see pad lanes through
-            the batch moments — zero lanes reproduce the host/reference
-            zero-padding bit for bit.
+            span; valid: (B,) f32 lane mask; video_u8: uint8 frames — either
+            (B, T, H, W, 3) RGB or (B, T, H*3/2, W) raw I420 planes (the
+            rank picks the branch at trace time; planes are chroma-upsampled
+            and color-converted on device) — or None. Padded lanes are
+            zeroed (not dropped): the model runs BatchNorm on batch
+            statistics even at eval (the reference quirk, models/resnet.py
+            docstring), so real lanes see pad lanes through the batch
+            moments — zero lanes reproduce the host/reference zero-padding
+            bit for bit.
             """
             import jax.numpy as jnp
 
@@ -114,11 +183,18 @@ class MonoToAmbix:
             audio = audio * valid[:, None, None]
             video = None
             if video_u8 is not None:
-                video = video_u8.astype(jnp.float32) / 255.0 - 0.5
+                if video_u8.ndim == 4:  # raw I420 planes
+                    h = video_u8.shape[2] * 2 // 3
+                    video = yuv420_planes_to_rgb01(video_u8, h) - 0.5
+                else:
+                    video = video_u8.astype(jnp.float32) / 255.0 - 0.5
                 video = video * valid[:, None, None, None, None]
             return fwd(state, audio, video, None)
 
         self.fwd_span = jax.jit(fwd_span)
+        # per-deploy H2D accounting (bytes shipped + upload-stage seconds),
+        # read by bench.py to bound the tunnel-limited e2e (PERF.md)
+        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0}
 
     # ------------------------------------------------------------------
     def _reader(self, input_folder: str, start: float, duration: float | None):
@@ -205,6 +281,20 @@ class MonoToAmbix:
                 _os.path.join(input_folder, "video"), self.cfg.video_rate,
                 img_prep=lambda x: x)  # stay uint8; normalization is on-device
 
+        use_yuv = (video_reader is not None and self.yuv_frames is not False
+                   and video_reader.yuv420_supported())
+        if self.yuv_frames and video_reader is not None:
+            assert video_reader.yuv420_supported(), \
+                "yuv_frames=True but the frame dir has no native 4:2:0 path"
+
+        def read_frames(t):
+            if not use_yuv:
+                return video_reader.get_by_index(t, g.vid_dur)
+            planes = video_reader.get_yuv420_by_index(t, g.vid_dur)
+            if planes is None:  # odd non-4:2:0 frame mid-dir: convert on host
+                planes = host_rgb_to_i420(video_reader.get_by_index(t, g.vid_dur))
+            return planes
+
         ts = reader.chunks_t
         ar = reader.audio_reader
         for k in range(0, len(ts), B):
@@ -217,7 +307,7 @@ class MonoToAmbix:
             span = ar.get(starts[0] / rate, span_len, None)[:, :g.num_in_channels]
             video_u8 = None
             if video_reader is not None:
-                frames = [video_reader.get_by_index(t, g.vid_dur) for t in batch_ts]
+                frames = [read_frames(t) for t in batch_ts]
                 frames += [frames[-1]] * (B - n)
                 video_u8 = np.stack(frames, 0)
             mono = np.concatenate(
@@ -235,12 +325,20 @@ class MonoToAmbix:
         span replicates and the per-window arrays shard on the data axis
         (committed shardings steer GSPMD's partitioning of the forward).
         """
+        import time as _time
+
         for n, span, rel, valid, video_u8, mono in batches:
+            t0 = _time.perf_counter()
+            nbytes = span.nbytes + rel.nbytes + valid.nbytes
             span = jax.device_put(span, self._rep_shd)
             rel = jax.device_put(rel, self._batch_shd)
             valid = jax.device_put(valid, self._batch_shd)
             if video_u8 is not None:
+                nbytes += video_u8.nbytes
                 video_u8 = jax.device_put(video_u8, self._batch_shd)
+            self.h2d_stats["bytes"] += nbytes
+            self.h2d_stats["seconds"] += _time.perf_counter() - t0
+            self.h2d_stats["batches"] += 1
             yield n, span, rel, valid, video_u8, mono
 
     def _predict_span_ondevice(self, input_folder: str, start: float,
@@ -316,6 +414,7 @@ class MonoToAmbix:
                crossfade: bool = False) -> np.ndarray:
         """Returns (T, 1 + n_out) ambisonics: mono W + predicted channels."""
         g = self.geometry
+        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0}
         mono, pred = self._predict_span(input_folder, deploy_start, deploy_duration)
         if crossfade:
             # second pass offset by half a window, Hann-blended

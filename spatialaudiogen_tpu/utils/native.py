@@ -43,6 +43,9 @@ _SIGNATURES = {
     "sag_jpeg_decode_batch": (ctypes.c_int,
                               [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                ctypes.c_int, ctypes.c_int, ctypes.c_int, _U8P]),
+    "sag_jpeg_decode_batch_yuv420": (ctypes.c_int,
+                                     [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, _U8P]),
 }
 
 

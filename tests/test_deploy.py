@@ -76,14 +76,79 @@ def trained_video(tmp_path_factory):
 
 def test_ondevice_gather_matches_host_windows_video(trained_video):
     """Video frames ride up as uint8 and are normalized on device; outputs
-    must match the host img_prep_default path exactly."""
+    must match the host img_prep_default path exactly (RGB upload forced —
+    the 4:2:0 fast path is covered by its own tolerance test)."""
     root, model_dir = trained_video
     clip = os.path.join(root, "synth000")
-    model = MonoToAmbix(model_dir, batch_size=3)  # uneven last batch
+    model = MonoToAmbix(model_dir, batch_size=3,  # uneven last batch
+                        yuv_frames=False)
     mono_d, pred_d = model._predict_span_ondevice(clip, 0.5, 1.0)
     mono_h, pred_h = model._predict_span_host(clip, 0.5, 1.0)
     np.testing.assert_allclose(mono_d, mono_h, atol=1e-6)
     np.testing.assert_allclose(pred_d, pred_h, atol=1e-5)
+
+
+def test_yuv420_device_conversion_matches_libjpeg():
+    """yuv420_planes_to_rgb01 on the native raw planes reproduces the RGB
+    decode (fancy chroma upsample + BT.601) to jpg-rounding tolerance."""
+    from PIL import Image
+
+    from spatialaudiogen_tpu.data.readers import VideoFrameReader
+    from spatialaudiogen_tpu.deploy.deploy import yuv420_planes_to_rgb01
+
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    ys, xs = np.mgrid[0:64, 0:128]
+    for i in range(2):
+        img = np.stack([128 + 80 * np.sin(2 * np.pi * xs / 128 + i),
+                        128 + 80 * np.cos(2 * np.pi * ys / 64),
+                        90 + 50 * np.sin(4 * np.pi * xs / 128)], -1)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).save(
+            os.path.join(d, f"{i:06d}.jpg"), quality=92)
+    reader = VideoFrameReader(d, rate=10, img_prep=lambda x: x)
+    if not reader.yuv420_supported():
+        pytest.skip("native 4:2:0 decoder unavailable")
+    planes = reader.get_yuv420_by_index(0.0, 2)
+    rgb = reader.get_by_index(0.0, 2).astype(np.float32) / 255.0
+    rec = np.asarray(yuv420_planes_to_rgb01(planes, 64))
+    assert np.abs(rec - rgb).max() < 2.5 / 255.0
+
+
+def test_host_rgb_to_i420_fallback_close():
+    """The emergency host conversion feeds the same device decoder within a
+    box-vs-triangle resampling tolerance."""
+    from spatialaudiogen_tpu.deploy.deploy import host_rgb_to_i420, yuv420_planes_to_rgb01
+
+    ys, xs = np.mgrid[0:32, 0:64]
+    rgb = np.stack([128 + 60 * np.sin(2 * np.pi * xs / 64),
+                    128 + 60 * np.cos(2 * np.pi * ys / 32),
+                    np.full_like(xs, 80.0)], -1).astype(np.uint8)[None]
+    planes = host_rgb_to_i420(rgb)
+    rec = np.asarray(yuv420_planes_to_rgb01(planes, 32)) * 255.0
+    assert np.abs(rec - rgb.astype(np.float32)).mean() < 3.0
+
+
+def test_yuv_fast_path_predictions_close(trained_video):
+    """The raw-4:2:0 upload path (auto default) tracks the byte-exact RGB
+    path: frame inputs differ by jpg rounding only, so predictions agree to
+    audio tolerance."""
+    from spatialaudiogen_tpu.data.readers import VideoFrameReader
+
+    root, model_dir = trained_video
+    clip = os.path.join(root, "synth000")
+    if not VideoFrameReader(os.path.join(clip, "video"), rate=10,
+                            img_prep=lambda x: x).yuv420_supported():
+        pytest.skip("native 4:2:0 decoder unavailable")
+    rgb = MonoToAmbix(model_dir, batch_size=3, yuv_frames=False)
+    yuv = MonoToAmbix(model_dir, batch_size=3, yuv_frames=True)
+    mono_r, pred_r = rgb._predict_span_ondevice(clip, 0.5, 1.0)
+    mono_y, pred_y = yuv._predict_span_ondevice(clip, 0.5, 1.0)
+    np.testing.assert_allclose(mono_y, mono_r, atol=1e-6)
+    scale = np.abs(pred_r).max() + 1e-9
+    assert np.abs(pred_y - pred_r).max() / scale < 0.05
+    # and the fast path genuinely ships ~half the frame bytes
+    assert 0 < yuv.h2d_stats["bytes"] < rgb.h2d_stats["bytes"]
 
 
 def test_deploy_mesh_sharded_matches_single_chip(trained):

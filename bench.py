@@ -221,14 +221,17 @@ def main():
     e2e_audio, _ = e2e_deploy_bench(audio_model_dir, clip, E2E_AUDIO_BATCH)
     link_mbps, link_lat = measure_h2d_link()
 
-    # Upload-stage occupancy bound: even with free decode + free compute the
-    # flagship e2e cannot exceed audio-seconds-per-batch / upload-stage-time
-    # on this host's link. Close agreement with the measured e2e proves the
+    # Link byte-flow bound: even with free decode + free compute the
+    # flagship e2e cannot exceed audio-seconds-per-batch over the time the
+    # measured link needs to move that batch's H2D (span+frames) plus D2H
+    # (predictions) bytes. Close agreement with the measured e2e proves the
     # figure is tunnel-limited, not pipeline-limited (PERF.md byte-flow).
     audio_per_batch = E2E_BATCH * 0.1
-    mb_per_batch = h2d["bytes"] / max(h2d["batches"], 1) / 1e6
-    upload_s_per_batch = h2d["seconds"] / max(h2d["batches"], 1)
-    link_bound = audio_per_batch / max(upload_s_per_batch, 1e-9)
+    batches = max(h2d["batches"], 1)
+    mb_per_batch = h2d["bytes"] / batches / 1e6
+    d2h_mb_per_batch = h2d["d2h_bytes"] / batches / 1e6
+    link_bound = audio_per_batch / max(
+        (mb_per_batch + d2h_mb_per_batch) / max(link_mbps, 1e-9), 1e-9)
 
     train_f32 = train_bf16 = None
     try:
@@ -246,7 +249,8 @@ def main():
         "e2e_realtime_factor": round(e2e, 2),
         "e2e_audio_only": round(e2e_audio, 2),
         "e2e_h2d_mb_per_batch": round(mb_per_batch, 2),
-        "e2e_upload_bound": round(link_bound, 2),
+        "e2e_d2h_mb_per_batch": round(d2h_mb_per_batch, 2),
+        "e2e_link_bound": round(link_bound, 2),
         "h2d_link_mb_per_s": round(link_mbps, 1),
         "h2d_link_s_per_roundtrip": round(link_lat, 4),
         "tflops_per_sec": round(tflops, 2),

@@ -41,6 +41,10 @@ def parse_arguments(argv=None):
                         help="Force byte-exact RGB frame upload instead of "
                              "the raw-4:2:0-planes fast path (half the H2D "
                              "bytes, ~1.4/255 frame tolerance).")
+    parser.add_argument("--f32_fetch", action="store_true",
+                        help="Fetch predictions as float32 instead of the "
+                             "float16 transport default (half the D2H "
+                             "bytes, ~-76 dBFS transport error).")
     args = parser.parse_args(argv)
     if args.deploy_duration <= 0:
         args.deploy_duration = None
@@ -62,7 +66,8 @@ def main(argv=None):
         mesh = make_mesh(n_data=args.n_data, n_model=1)
     model = MonoToAmbix(args.model_dir, batch_size=args.batch_size, mesh=mesh,
                         compute_dtype=args.compute_dtype,
-                        yuv_frames=False if args.rgb_frames else None)
+                        yuv_frames=False if args.rgb_frames else None,
+                        f16_fetch=not args.f32_fetch)
     print(f"Restored checkpoint step {model.restored_step}")
     print("Generating ambisonics...")
     ambi = model.deploy(args.input_folder, args.deploy_start, args.deploy_duration,

@@ -109,7 +109,8 @@ class MonoToAmbix:
 
     def __init__(self, model_dir: str, batch_size: int = 32, mesh=None,
                  compute_dtype: str | None = None,
-                 yuv_frames: bool | None = None):
+                 yuv_frames: bool | None = None,
+                 f16_fetch: bool = True):
         # yuv_frames: ship frames as raw 4:2:0 planes (HALF the RGB888
         # bytes over the H2D link) and convert to RGB on device. None =
         # auto (on when the native raw decoder supports the frame dir);
@@ -118,6 +119,12 @@ class MonoToAmbix:
         # yuv420_planes_to_rgb01) — inaudible on predictions; flip it off
         # for bit-parity work.
         self.yuv_frames = yuv_frames
+        # f16_fetch: cast predictions to float16 on device before the D2H
+        # fetch — halves the dominant return-path bytes. The transport
+        # error (~5e-4 relative) sits ~-76 dBFS on typical levels, under
+        # any listening threshold though ~4 bits above PCM16's floor;
+        # False restores the f32-exact fetch for parity work.
+        self.f16_fetch = f16_fetch
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         self.cfg.sample_dur = DEPLOY_DURATION
@@ -189,12 +196,16 @@ class MonoToAmbix:
                 else:
                     video = video_u8.astype(jnp.float32) / 255.0 - 0.5
                 video = video * valid[:, None, None, None, None]
-            return fwd(state, audio, video, None)
+            out = fwd(state, audio, video, None)
+            if self.f16_fetch:
+                out = out.astype(jnp.float16)
+            return out
 
         self.fwd_span = jax.jit(fwd_span)
-        # per-deploy H2D accounting (bytes shipped + upload-stage seconds),
-        # read by bench.py to bound the tunnel-limited e2e (PERF.md)
-        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0}
+        # per-deploy link accounting (H2D/D2H bytes + stage seconds), read
+        # by bench.py to bound the tunnel-limited e2e (PERF.md)
+        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0,
+                          "d2h_bytes": 0, "fetch_seconds": 0.0}
 
     # ------------------------------------------------------------------
     def _reader(self, input_folder: str, start: float, duration: float | None):
@@ -343,6 +354,8 @@ class MonoToAmbix:
 
     def _predict_span_ondevice(self, input_folder: str, start: float,
                                duration: float | None):
+        from concurrent.futures import ThreadPoolExecutor
+
         from spatialaudiogen_tpu.data.generic import BackgroundGenerator
 
         g = self.geometry
@@ -350,23 +363,32 @@ class MonoToAmbix:
         if not reader.chunks_t:
             raise ValueError(f"no windows to deploy in {input_folder}")
         monos, preds = [], []
-        pending = []  # fetch lags dispatch by one batch
 
-        def drain(entry):
-            n, out = entry
-            preds.append(np.asarray(out)[:n].reshape(n * g.snd_dur, -1))
+        def fetch(n, out):
+            """D2H on the fetcher thread so the return-path transfer
+            overlaps the next batches' decode/upload/dispatch instead of
+            serializing the dispatch loop (PERF.md: the prediction fetch is
+            a first-order term of the tunnel byte flow)."""
+            import time as _time
 
-        for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
-                self._upload_batches(BackgroundGenerator(
-                    self._span_batches(reader, input_folder), depth=2)),
-                depth=2):
-            monos.append(mono)
-            out = self.fwd_span(self.state, span, rel, valid, video_u8)
-            pending.append((n, out))
-            if len(pending) > 1:
-                drain(pending.pop(0))
-        for entry in pending:
-            drain(entry)
+            t0 = _time.perf_counter()
+            host = np.asarray(out)[:n].reshape(n * g.snd_dur, -1)
+            self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
+            self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
+            return host.astype(np.float32)
+
+        with ThreadPoolExecutor(max_workers=1) as fetcher:
+            pending = []  # fetch lags dispatch by up to 2 device batches
+            for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
+                    self._upload_batches(BackgroundGenerator(
+                        self._span_batches(reader, input_folder), depth=2)),
+                    depth=2):
+                monos.append(mono)
+                out = self.fwd_span(self.state, span, rel, valid, video_u8)
+                pending.append(fetcher.submit(fetch, n, out))
+                if len(pending) > 2:
+                    preds.append(pending.pop(0).result())
+            preds.extend(f.result() for f in pending)
         return np.concatenate(monos, 0), np.concatenate(preds, 0)
 
     def _predict_span(self, input_folder: str, start: float, duration: float | None):
@@ -414,7 +436,8 @@ class MonoToAmbix:
                crossfade: bool = False) -> np.ndarray:
         """Returns (T, 1 + n_out) ambisonics: mono W + predicted channels."""
         g = self.geometry
-        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0}
+        self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0,
+                          "d2h_bytes": 0, "fetch_seconds": 0.0}
         mono, pred = self._predict_span(input_folder, deploy_start, deploy_duration)
         if crossfade:
             # second pass offset by half a window, Hann-blended

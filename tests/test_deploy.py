@@ -53,7 +53,7 @@ def test_ondevice_gather_matches_host_windows(trained):
     per-window host assembly (same windows, same model, same outputs)."""
     root, model_dir = trained
     clip = os.path.join(root, "synth000")
-    model = MonoToAmbix(model_dir, batch_size=4)
+    model = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False)
     mono_d, pred_d = model._predict_span_ondevice(clip, 0.5, 1.5)
     mono_h, pred_h = model._predict_span_host(clip, 0.5, 1.5)
     np.testing.assert_allclose(mono_d, mono_h, atol=1e-6)
@@ -81,7 +81,7 @@ def test_ondevice_gather_matches_host_windows_video(trained_video):
     root, model_dir = trained_video
     clip = os.path.join(root, "synth000")
     model = MonoToAmbix(model_dir, batch_size=3,  # uneven last batch
-                        yuv_frames=False)
+                        yuv_frames=False, f16_fetch=False)
     mono_d, pred_d = model._predict_span_ondevice(clip, 0.5, 1.0)
     mono_h, pred_h = model._predict_span_host(clip, 0.5, 1.0)
     np.testing.assert_allclose(mono_d, mono_h, atol=1e-6)
@@ -151,6 +151,22 @@ def test_yuv_fast_path_predictions_close(trained_video):
     assert 0 < yuv.h2d_stats["bytes"] < rgb.h2d_stats["bytes"]
 
 
+def test_f16_fetch_transport_tolerance(trained):
+    """The float16 prediction transport (deploy default) tracks the f32
+    fetch within half-precision rounding and records the halved D2H bytes."""
+    root, model_dir = trained
+    clip = os.path.join(root, "synth000")
+    exact = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False)
+    fast = MonoToAmbix(model_dir, batch_size=4)  # f16 default
+    mono_e, pred_e = exact._predict_span_ondevice(clip, 0.5, 1.0)
+    mono_f, pred_f = fast._predict_span_ondevice(clip, 0.5, 1.0)
+    np.testing.assert_allclose(mono_f, mono_e, atol=1e-6)
+    assert pred_f.dtype == np.float32  # upcast after transport
+    scale = np.abs(pred_e).max() + 1e-9
+    assert np.abs(pred_f - pred_e).max() / scale < 2e-3
+    assert 0 < fast.h2d_stats["d2h_bytes"] == exact.h2d_stats["d2h_bytes"] // 2
+
+
 def test_deploy_mesh_sharded_matches_single_chip(trained):
     """Window batches shard over the mesh data axis (SURVEY §7: deploy is
     embarrassingly parallel over windows); outputs must equal the
@@ -160,8 +176,12 @@ def test_deploy_mesh_sharded_matches_single_chip(trained):
 
     root, model_dir = trained
     clip = os.path.join(root, "synth000")
-    single = MonoToAmbix(model_dir, batch_size=4)
-    sharded = MonoToAmbix(model_dir, batch_size=4, mesh=make_mesh(n_data=4, n_model=1))
+    # f32 transport: this test pins sharding parity at float tolerance, and
+    # f16 quantization can round the ~1e-6 all-reduce reorder differences
+    # across a half-precision step
+    single = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False)
+    sharded = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False,
+                          mesh=make_mesh(n_data=4, n_model=1))
     a = single.deploy(clip, 0.5, 1.0)
     b = sharded.deploy(clip, 0.5, 1.0)
     np.testing.assert_allclose(a, b, atol=1e-5)
@@ -179,8 +199,9 @@ def test_deploy_mesh_sharded_matches_single_chip_video(trained_video):
 
     root, model_dir = trained_video
     clip = os.path.join(root, "synth000")
-    single = MonoToAmbix(model_dir, batch_size=4)
-    sharded = MonoToAmbix(model_dir, batch_size=4, mesh=make_mesh(n_data=4, n_model=1))
+    single = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False)
+    sharded = MonoToAmbix(model_dir, batch_size=4, f16_fetch=False,
+                          mesh=make_mesh(n_data=4, n_model=1))
     a = single.deploy(clip, 0.5, 1.0)
     b = sharded.deploy(clip, 0.5, 1.0)
     np.testing.assert_allclose(a, b, atol=1e-5)

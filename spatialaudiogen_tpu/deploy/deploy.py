@@ -185,6 +185,11 @@ class MonoToAmbix:
             """
             import jax.numpy as jnp
 
+            if span.dtype == jnp.int16:
+                # lossless PCM16 transport: wav decode is int16/32768 in f32
+                # (utils/io_audio.py), so the host re-quantization is exact
+                # and the span ships at half the f32 bytes
+                span = span.astype(jnp.float32) / 32768.0
             idx = rel[:, None] + jnp.arange(snd_size)[None, :]
             audio = jnp.take(span, idx, axis=0)  # (B, snd_size, n_in)
             audio = audio * valid[:, None, None]
@@ -324,6 +329,13 @@ class MonoToAmbix:
             mono = np.concatenate(
                 [span[r + g.nosep_ss: r + g.nosep_ss + g.snd_dur, :1]
                  for r in rel[:n]], 0)
+            # ship PCM16-sourced spans as int16 (exactly invertible on
+            # device: wav decode is int16/32768, utils/io_audio.py); any
+            # span not exactly on the PCM16 grid stays f32. Mono was
+            # extracted above, so the passthrough stays float regardless.
+            i16 = np.clip(np.round(span * 32768.0), -32768, 32767)
+            if np.array_equal(i16.astype(np.float32) / 32768.0, span):
+                span = i16.astype(np.int16)
             valid = (np.arange(B) < n).astype(np.float32)
             yield n, span, rel, valid, video_u8, mono
 

@@ -397,6 +397,10 @@ class MonoToAmbix:
                     depth=2):
                 monos.append(mono)
                 out = self.fwd_span(self.state, span, rel, valid, video_u8)
+                # NOTE: do NOT call out.copy_to_host_async() here — on the
+                # axon tunnel it deadlocks when the value is still pending
+                # (verified empirically); the fetcher thread's np.asarray
+                # is the safe overlap mechanism.
                 pending.append(fetcher.submit(fetch, n, out))
                 if len(pending) > 2:
                     preds.append(pending.pop(0).result())

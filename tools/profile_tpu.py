@@ -120,9 +120,32 @@ def parse_trace(trace_dir: str, top: int = 30):
     return total
 
 
+def build_deploy_span(batch: int, bf16: bool):
+    """The deploy fast path's jitted span-forward (on-device window gather,
+    audio-only bench model): profiles the e2e bench's compute term."""
+    import jax
+
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+
+    model_dir = os.path.join(_REPO, ".bench_e2e", "model_audio")
+    assert os.path.isdir(model_dir), "run bench.py once to create the model"
+    m = MonoToAmbix(model_dir, batch_size=batch,
+                    compute_dtype="bfloat16" if bf16 else None)
+    g = m.geometry
+    span_len = (batch - 1) * g.snd_dur + g.snd_size + 16
+    rng = np.random.RandomState(0)
+    span = rng.randint(-2000, 2000,
+                       (span_len, g.num_in_channels)).astype(np.int16)
+    rel = (np.arange(batch) * g.snd_dur).astype(np.int32)
+    valid = np.ones(batch, np.float32)
+    args = (m.state, jax.device_put(span), jax.device_put(rel),
+            jax.device_put(valid), None)
+    return m.fwd_span, args
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("mode", choices=["fwd", "train"])
+    p.add_argument("mode", choices=["fwd", "train", "deploy_span"])
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--iters", type=int, default=5)
@@ -134,8 +157,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    batch = args.batch or (128 if args.mode == "fwd" else 32)
-    fn, fargs = (build_fwd if args.mode == "fwd" else build_train)(batch, args.bf16)
+    batch = args.batch or (32 if args.mode == "train" else 128)
+    builder = {"fwd": build_fwd, "train": build_train,
+               "deploy_span": build_deploy_span}[args.mode]
+    fn, fargs = builder(batch, args.bf16)
 
     out = fn(*fargs)
     leaf = jax.tree_util.tree_leaves(out)[-1]

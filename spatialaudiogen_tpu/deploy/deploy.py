@@ -11,7 +11,11 @@ upgrades:
     the host ships one contiguous audio span per batch plus int32 window
     offsets, and the windows are gathered inside the jitted forward.
     Frames ride up as uint8 and are normalized on device. Cuts host->device
-    traffic ~4x (the tunnel hop is 40 ms/transfer on the bench host);
+    traffic ~4x (the tunnel hop is 40 ms/transfer on the bench host).
+    Decode runs in a background thread; all tunnel RPCs stay on one thread
+    with the prediction fetch lagging dispatch by two batches — measured
+    5x faster than multi-threaded RPC issue on the tunnel (see
+    _predict_span_ondevice);
   * optional Hann crossfade between half-offset passes — completing the
     stitching experiment the reference left commented out (deploy.py:163-180)
     — removes the butt-join seams at window boundaries;
@@ -339,18 +343,47 @@ class MonoToAmbix:
             valid = (np.arange(B) < n).astype(np.float32)
             yield n, span, rel, valid, video_u8, mono
 
-    def _upload_batches(self, batches):
-        """Second pipeline stage: host->device copies on their own thread.
+    def _predict_span_ondevice(self, input_folder: str, start: float,
+                               duration: float | None):
+        """Decode in a background thread; issue EVERY tunnel RPC (upload,
+        dispatch, fetch) from this one thread, fetching two batches behind
+        dispatch.
 
-        H2D costs ~40 ms latency + bandwidth per array on the tunnel host;
-        staging it between the decode thread and the dispatch loop lets
-        decode, upload, and device compute all overlap. Under a mesh the
-        span replicates and the per-window arrays shard on the data axis
-        (committed shardings steer GSPMD's partitioning of the forward).
+        The structure is load-bearing on the axon tunnel: an A/B on a 240 s
+        audio-only clip (batch 128) measured the previous design — upload
+        device_puts on one thread, np.asarray fetches on another — at
+        ~11x realtime while THIS loop ran 59-72x and a fully serial loop
+        48x. Concurrent RPCs from separate threads convoy pathologically in
+        the tunnel client (~5x worse than just serializing); single-thread
+        issue order with a lag-2 fetch reaches the link's byte-flow bound.
+        device_put is async (the call returns in ~2-6 ms), so decode is the
+        only stage that benefits from its own thread — and it is CPU-only,
+        touching no RPCs. NOTE: out.copy_to_host_async() deadlocks on this
+        tunnel when the value is still pending (verified empirically);
+        lagging np.asarray is the safe overlap mechanism.
         """
         import time as _time
 
-        for n, span, rel, valid, video_u8, mono in batches:
+        from spatialaudiogen_tpu.data.generic import BackgroundGenerator
+
+        g = self.geometry
+        reader = self._reader(input_folder, start, duration)
+        if not reader.chunks_t:
+            raise ValueError(f"no windows to deploy in {input_folder}")
+        monos, preds = [], []
+        pending = []  # (n, device_out) — fetch lags dispatch by 2 batches
+
+        def drain(entry):
+            n, out = entry
+            t0 = _time.perf_counter()
+            host = np.asarray(out)[:n].reshape(n * g.snd_dur, -1)
+            self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
+            self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
+            preds.append(host.astype(np.float32))
+
+        for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
+                self._span_batches(reader, input_folder), depth=2):
+            monos.append(mono)
             t0 = _time.perf_counter()
             nbytes = span.nbytes + rel.nbytes + valid.nbytes
             span = jax.device_put(span, self._rep_shd)
@@ -362,49 +395,12 @@ class MonoToAmbix:
             self.h2d_stats["bytes"] += nbytes
             self.h2d_stats["seconds"] += _time.perf_counter() - t0
             self.h2d_stats["batches"] += 1
-            yield n, span, rel, valid, video_u8, mono
-
-    def _predict_span_ondevice(self, input_folder: str, start: float,
-                               duration: float | None):
-        from concurrent.futures import ThreadPoolExecutor
-
-        from spatialaudiogen_tpu.data.generic import BackgroundGenerator
-
-        g = self.geometry
-        reader = self._reader(input_folder, start, duration)
-        if not reader.chunks_t:
-            raise ValueError(f"no windows to deploy in {input_folder}")
-        monos, preds = [], []
-
-        def fetch(n, out):
-            """D2H on the fetcher thread so the return-path transfer
-            overlaps the next batches' decode/upload/dispatch instead of
-            serializing the dispatch loop (PERF.md: the prediction fetch is
-            a first-order term of the tunnel byte flow)."""
-            import time as _time
-
-            t0 = _time.perf_counter()
-            host = np.asarray(out)[:n].reshape(n * g.snd_dur, -1)
-            self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
-            self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
-            return host.astype(np.float32)
-
-        with ThreadPoolExecutor(max_workers=1) as fetcher:
-            pending = []  # fetch lags dispatch by up to 2 device batches
-            for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
-                    self._upload_batches(BackgroundGenerator(
-                        self._span_batches(reader, input_folder), depth=2)),
-                    depth=2):
-                monos.append(mono)
-                out = self.fwd_span(self.state, span, rel, valid, video_u8)
-                # NOTE: do NOT call out.copy_to_host_async() here — on the
-                # axon tunnel it deadlocks when the value is still pending
-                # (verified empirically); the fetcher thread's np.asarray
-                # is the safe overlap mechanism.
-                pending.append(fetcher.submit(fetch, n, out))
-                if len(pending) > 2:
-                    preds.append(pending.pop(0).result())
-            preds.extend(f.result() for f in pending)
+            out = self.fwd_span(self.state, span, rel, valid, video_u8)
+            pending.append((n, out))
+            if len(pending) > 2:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
         return np.concatenate(monos, 0), np.concatenate(preds, 0)
 
     def _predict_span(self, input_folder: str, start: float, duration: float | None):

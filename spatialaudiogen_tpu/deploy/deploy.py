@@ -194,8 +194,14 @@ class MonoToAmbix:
                 # (utils/io_audio.py), so the host re-quantization is exact
                 # and the span ships at half the f32 bytes
                 span = span.astype(jnp.float32) / 32768.0
-            idx = rel[:, None] + jnp.arange(snd_size)[None, :]
-            audio = jnp.take(span, idx, axis=0)  # (B, snd_size, n_in)
+            # batched dynamic_slice, NOT take with a (B, snd_size) index
+            # matrix: the latter materializes B*snd_size int32 indices and
+            # gathers element-wise — measured 49.6 ms vs 1.7 ms for the
+            # slice form at B=128 on v5e (the windows are contiguous rows,
+            # so only the B start offsets are really dynamic)
+            audio = jax.vmap(
+                lambda r: jax.lax.dynamic_slice(
+                    span, (r, 0), (snd_size, span.shape[1])))(rel)
             audio = audio * valid[:, None, None]
             video = None
             if video_u8 is not None:
@@ -368,22 +374,37 @@ class MonoToAmbix:
 
         g = self.geometry
         reader = self._reader(input_folder, start, duration)
-        if not reader.chunks_t:
+        n_windows = len(reader.chunks_t)
+        if not n_windows:
             raise ValueError(f"no windows to deploy in {input_folder}")
-        monos, preds = [], []
+        # preallocate the full outputs: a 10-minute clip returns ~340 MB of
+        # f32 predictions, and list-append + final np.concatenate costs a
+        # second-pass copy of all of it (measured ~1-2 s on the 1-CPU bench
+        # host); writing each fetched batch straight into its slice also
+        # fuses the f16->f32 widening into the single store
+        total = n_windows * g.snd_dur
+        mono_out = np.empty((total, 1), np.float32)
+        pred_out = None
+        mono_fill = pred_fill = 0
         pending = []  # (n, device_out) — fetch lags dispatch by 2 batches
 
         def drain(entry):
+            nonlocal pred_out, pred_fill
             n, out = entry
             t0 = _time.perf_counter()
-            host = np.asarray(out)[:n].reshape(n * g.snd_dur, -1)
+            host = np.asarray(out)
             self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
             self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
-            preds.append(host.astype(np.float32))
+            if pred_out is None:
+                pred_out = np.empty((total, host.shape[-1]), np.float32)
+            m = n * g.snd_dur
+            pred_out[pred_fill: pred_fill + m] = host[:n].reshape(m, -1)
+            pred_fill += m
 
         for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
                 self._span_batches(reader, input_folder), depth=2):
-            monos.append(mono)
+            mono_out[mono_fill: mono_fill + mono.shape[0]] = mono
+            mono_fill += mono.shape[0]
             t0 = _time.perf_counter()
             nbytes = span.nbytes + rel.nbytes + valid.nbytes
             span = jax.device_put(span, self._rep_shd)
@@ -401,7 +422,8 @@ class MonoToAmbix:
                 drain(pending.pop(0))
         for entry in pending:
             drain(entry)
-        return np.concatenate(monos, 0), np.concatenate(preds, 0)
+        assert mono_fill == pred_fill == total
+        return mono_out, pred_out
 
     def _predict_span(self, input_folder: str, start: float, duration: float | None):
         """One sliding pass -> (mono (T,1), pred (T, n_out))."""

@@ -214,7 +214,11 @@ class MonoToAmbix:
             out = fwd(state, audio, video, None)
             if self.f16_fetch:
                 out = out.astype(jnp.float16)
-            return out
+            # flatten BEFORE the fetch: repacking the (B, snd_dur, 3)
+            # tiled layout on device (HBM-bandwidth, ~us) lets the tunnel
+            # stream a linear buffer — measured 101 ms vs 137 ms for the
+            # 3-D f16 fetch at batch 128 (same bytes, same minutes)
+            return out.reshape(-1)
 
         self.fwd_span = jax.jit(fwd_span)
         # per-deploy link accounting (H2D/D2H bytes + stage seconds), read
@@ -392,13 +396,14 @@ class MonoToAmbix:
             nonlocal pred_out, pred_fill
             n, out = entry
             t0 = _time.perf_counter()
-            host = np.asarray(out)
+            host = np.asarray(out)  # flat (B * snd_dur * n_out,)
             self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
             self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
+            full = host.reshape(self.batch_size, g.snd_dur, -1)
             if pred_out is None:
-                pred_out = np.empty((total, host.shape[-1]), np.float32)
+                pred_out = np.empty((total, full.shape[-1]), np.float32)
             m = n * g.snd_dur
-            pred_out[pred_fill: pred_fill + m] = host[:n].reshape(m, -1)
+            pred_out[pred_fill: pred_fill + m] = full[:n].reshape(m, -1)
             pred_fill += m
 
         for n, span, rel, valid, video_u8, mono in BackgroundGenerator(

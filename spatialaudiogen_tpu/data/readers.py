@@ -320,7 +320,8 @@ class SampleReader:
                  rng: np.random.RandomState | None = None,
                  audio_reader: AudioChunkReader | None = None,
                  video_reader: VideoFrameReader | None = None,
-                 flow_reader: FlowFrameReader | None = None):
+                 flow_reader: FlowFrameReader | None = None,
+                 use_packed: bool | None = None):
         a2v = float(audio_rate) / video_rate
         snd_dur = duration * audio_rate
         vid_dur = duration * video_rate
@@ -335,19 +336,42 @@ class SampleReader:
         self.rng = rng if rng is not None else np.random.RandomState()
 
         # sub-readers may be shared across visits (their decode caches stay
-        # warm; readers are stateless w.r.t. chunk iteration)
-        self.audio_reader = audio_reader if audio_reader is not None else \
-            AudioChunkReader(os.path.join(folder, "ambix"), audio_rate, ambi_order)
+        # warm; readers are stateless w.r.t. chunk iteration). When the video
+        # has an ahead-of-time pack (data/packed.py, `sag-pack`) the packed
+        # memmap readers serve windows decode-free; use_packed=None
+        # auto-detects, False forces the decode path (parity oracle).
+        from spatialaudiogen_tpu.data import packed as _packed
+
+        if use_packed is None:
+            # packs never resample on read; a rate-mismatched pack falls
+            # back to the wav decode path rather than asserting
+            use_packed = (_packed.is_packed(folder)
+                          and _packed.pack_rate(folder) == int(audio_rate))
+        elif use_packed:
+            assert _packed.is_packed(folder), f"no pack in {folder}"
+        self.audio_reader = audio_reader
         self.video_reader = video_reader
         self.flow_reader = flow_reader
+        if self.audio_reader is None:
+            self.audio_reader = (
+                _packed.PackedAudioReader(folder, audio_rate, ambi_order)
+                if use_packed else
+                AudioChunkReader(os.path.join(folder, "ambix"), audio_rate,
+                                 ambi_order))
         if return_video and self.video_reader is None:
-            self.video_reader = VideoFrameReader(os.path.join(folder, "video"),
-                                                 video_rate, img_prep)
+            self.video_reader = (
+                _packed.PackedVideoReader(folder, video_rate, img_prep)
+                if use_packed else
+                VideoFrameReader(os.path.join(folder, "video"), video_rate,
+                                 img_prep))
         if return_flow and self.flow_reader is None:
             flow_dir = os.path.join(folder, "flow")
-            self.flow_reader = FlowFrameReader(flow_dir,
-                                               os.path.join(flow_dir, "flow_limits.npy"),
-                                               video_rate, flow_prep)
+            self.flow_reader = (
+                _packed.PackedFlowReader(folder, video_rate, flow_prep)
+                if use_packed else
+                FlowFrameReader(flow_dir,
+                                os.path.join(flow_dir, "flow_limits.npy"),
+                                video_rate, flow_prep))
 
         self.duration = duration
         self.context = context

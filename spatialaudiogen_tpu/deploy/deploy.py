@@ -307,14 +307,29 @@ class MonoToAmbix:
         span_len = (B - 1) * g.snd_dur + g.snd_size + 16
         video_reader = None
         if "video" in self.cfg.encoders:
-            video_reader = VideoFrameReader(
-                _os.path.join(input_folder, "video"), self.cfg.video_rate,
-                img_prep=lambda x: x)  # stay uint8; normalization is on-device
+            vdir = _os.path.join(input_folder, "video")
+            if _os.path.isdir(vdir):
+                video_reader = VideoFrameReader(
+                    vdir, self.cfg.video_rate,
+                    img_prep=lambda x: x)  # stay uint8; normalized on-device
+            else:
+                # jpg dir deleted after `sag-pack`: serve frames from the
+                # pack (decoded RGB; the raw-4:2:0 upload path needs jpgs)
+                from spatialaudiogen_tpu.data.packed import (
+                    PackedVideoReader, is_packed)
+
+                assert is_packed(input_folder), f"no frames in {input_folder}"
+                video_reader = PackedVideoReader(
+                    input_folder, self.cfg.video_rate, img_prep=lambda x: x)
+
+        def yuv_ok():
+            return (hasattr(video_reader, "yuv420_supported")
+                    and video_reader.yuv420_supported())
 
         use_yuv = (video_reader is not None and self.yuv_frames is not False
-                   and video_reader.yuv420_supported())
+                   and yuv_ok())
         if self.yuv_frames and video_reader is not None:
-            assert video_reader.yuv420_supported(), \
+            assert yuv_ok(), \
                 "yuv_frames=True but the frame dir has no native 4:2:0 path"
 
         def read_frames(t):

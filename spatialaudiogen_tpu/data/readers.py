@@ -295,6 +295,15 @@ def img_prep_default(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float32) / 255.0 - 0.5
 
 
+def img_prep_u8(x: np.ndarray) -> np.ndarray:
+    """Identity prep: frames stay uint8 through the feeder and the train/eval
+    steps normalize on device (same x/255 - 0.5 in f32; XLA's
+    reciprocal-multiply rounds <=1 ulp differently from numpy's division,
+    tests/test_trainer.py) — 4x less host->device traffic and no host float
+    conversion. The default transport for Trainer/Evaluator."""
+    return x
+
+
 class SampleReader:
     """Synchronized multimodal chunk extraction for one video
     (parity with reference feeder.py:164-278)."""
@@ -418,8 +427,12 @@ class SampleReader:
         chunk["ambix"] = self.audio_reader.get(audio_ss, self.audio_size,
                                                rotation).astype(np.float32)
         if self.video_reader is not None:
-            chunk["video"] = self.video_reader.get_by_index(
-                cur_t, self.video_size, rotation).astype(np.float32)
+            video = self.video_reader.get_by_index(cur_t, self.video_size,
+                                                   rotation)
+            # u8 stays u8 (img_prep_u8 device-normalization transport);
+            # everything else is coerced f32 as the reference feeder does
+            chunk["video"] = (video if video.dtype == np.uint8
+                              else video.astype(np.float32))
         if self.flow_reader is not None:
             chunk["flow"] = self.flow_reader.get_by_index(
                 cur_t, self.video_size, rotation).astype(np.float32)

@@ -26,6 +26,7 @@ import numpy as np
 from spatialaudiogen_tpu.ambisonics.emd import ambix_emd
 from spatialaudiogen_tpu.config import TrainConfig
 from spatialaudiogen_tpu.data.pipeline import Feeder
+from spatialaudiogen_tpu.data.readers import img_prep_u8
 from spatialaudiogen_tpu.eval.host_metrics import compute_envelope_dist, compute_mel_lsd
 from spatialaudiogen_tpu.models import SptAudioGen
 from spatialaudiogen_tpu.models.metrics import METRIC_SCALES
@@ -86,6 +87,7 @@ class Evaluator:
             audio_rate=self.cfg.audio_rate, video_rate=self.cfg.video_rate,
             context=self.cfg.context, duration=EVAL_DURATION,
             return_video="video" in self.cfg.encoders,
+            img_prep=img_prep_u8,  # normalize on device (train/steps.py)
             return_flow="flow" in self.cfg.encoders,
             batch_size=batch_size, n_workers=n_workers, for_eval=True,
             shard_id=self.shard_id, num_shards=self.num_shards)

@@ -18,6 +18,7 @@ gradient reductions; the same step runs on 1 chip or a full mesh.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -34,7 +35,13 @@ def _split_batch(batch: dict, cfg):
     audio_in = ambix[:, :, :n_in]
     target = ambix[:, g.target_ss: g.target_ss + g.snd_dur, n_in:]
     mask = batch["audio_mask"][:, n_in:]
-    return audio_in, batch.get("video"), batch.get("flow"), target, mask
+    video, flow = batch.get("video"), batch.get("flow")
+    if video is not None and video.dtype == jnp.uint8:
+        # u8 transport (readers.img_prep_u8): the feeder ships raw frames at
+        # a quarter of the f32 bytes and the prep (myutils.py:88-89) runs
+        # here, fused into the first conv's input chain by XLA
+        video = video.astype(jnp.float32) / 255.0 - 0.5
+    return audio_in, video, flow, target, mask
 
 
 def make_train_step(model: SptAudioGen, tx, weight_decay: float = 5e-4):

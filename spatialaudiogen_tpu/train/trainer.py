@@ -44,11 +44,14 @@ class Trainer:
         self.tx = make_optimizer(cfg.lr, cfg.lr_decay, cfg.lr_iters, cfg.clip_norm)
         self.lr_schedule = staircase_decay(cfg.lr, cfg.lr_decay, cfg.lr_iters)
 
+        from spatialaudiogen_tpu.data.readers import img_prep_u8
+
         self.feeder = Feeder(
             cfg.db_dir, subset_fn=cfg.subset_fn, ambi_order=cfg.ambi_order,
             audio_rate=cfg.audio_rate, video_rate=cfg.video_rate,
             context=cfg.context, duration=cfg.sample_dur,
             return_video="video" in cfg.encoders,
+            img_prep=img_prep_u8,  # normalize on device (train/steps.py)
             return_flow="flow" in cfg.encoders,
             batch_size=cfg.batch_size, n_workers=cfg.n_workers,
             for_eval=False, seed=cfg.seed,

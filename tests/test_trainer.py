@@ -300,3 +300,53 @@ def test_pretrained_applies_when_resume_finds_no_checkpoint(db, tmp_path):
     got = trainer.state.params["video_encoder"]["conv1"]["conv"]["kernel"]
     np.testing.assert_allclose(np.asarray(got), blob["conv1/weights"],
                                atol=1e-6)
+
+
+def test_u8_frame_transport_matches_f32(db, tmp_path):
+    """The u8 frame transport (feeder ships raw uint8, train/steps.py
+    normalizes on device) matches host-prepped f32 frames to float
+    rounding: XLA strength-reduces the /255 to a reciprocal multiply, so
+    the prepped pixels differ by <=1 ulp and the loss by ~1e-6 relative.
+    Params after one Adam step match within 2*lr absolute: Adam normalizes
+    each gradient coordinate to a +-lr step, so a near-zero gradient may
+    sign-flip its update under any 1-ulp input change — the bound is
+    structural, not sloppy."""
+    import jax
+
+    from spatialaudiogen_tpu.data.readers import (SampleReader,
+                                                  img_prep_default,
+                                                  img_prep_u8)
+    from spatialaudiogen_tpu.models import SptAudioGen
+    from spatialaudiogen_tpu.train.lr import make_optimizer
+    from spatialaudiogen_tpu.train.state import create_train_state
+    from spatialaudiogen_tpu.train.steps import make_train_step
+
+    cfg = _cfg(db, str(tmp_path / "m"), encoders=("audio", "video"),
+               batch_size=2, frame_hw=(64, 128))
+    folder = os.path.join(db, sorted(os.listdir(db))[0])
+
+    def batch_with(prep):
+        r = SampleReader(folder, img_prep=prep, shuffle=False,
+                         random_rotations=False, return_video=True,
+                         rng=np.random.RandomState(0))
+        chunks = [r.get(), r.get()]
+        return {k: np.stack([c[k] for c in chunks]) for k in
+                ("ambix", "video")} | {
+                "audio_mask": np.ones((2, 4), np.float32)}
+
+    b_u8, b_f32 = batch_with(img_prep_u8), batch_with(img_prep_default)
+    assert b_u8["video"].dtype == np.uint8
+    assert b_f32["video"].dtype == np.float32
+
+    model = SptAudioGen(cfg.model_config())
+    tx = make_optimizer()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), b_f32)
+    step = jax.jit(make_train_step(model, tx))
+    s1, m1 = step(state, b_u8)
+    s2, m2 = step(state, b_f32)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=2.1e-4),
+        s1.params, s2.params)

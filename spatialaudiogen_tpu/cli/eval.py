@@ -21,6 +21,13 @@ def parse_arguments(argv=None):
     parser.add_argument("--db_dir", default=None,
                         help="Override the dataset dir recorded at training time.")
     parser.add_argument("--emd_ang_res", default=30, type=float)
+    parser.add_argument("--emd", default="exact", choices=["exact", "sinkhorn"],
+                        help="EMD solver: 'exact' = per-sample native "
+                             "min-cost flow on the host (reference pyemd "
+                             "semantics); 'sinkhorn' = whole-batch annealed "
+                             "Sinkhorn on the TPU (ops/sinkhorn.py, ~1e-5 "
+                             "absolute agreement, removes the dominant host "
+                             "metric cost).")
     parser.add_argument("--n_data", default=None, type=int,
                         help="Shard eval batches over a data-parallel mesh "
                              "of this many devices (default: single device).")
@@ -53,7 +60,7 @@ def main(argv=None):
     evaluator = Evaluator(args.model_dir, subset_fn=args.subset_fn,
                           batch_size=args.batch_size, db_dir=args.db_dir,
                           emd_ang_res=args.emd_ang_res, mesh=mesh,
-                          compute_dtype=args.compute_dtype)
+                          compute_dtype=args.compute_dtype, emd_mode=args.emd)
     print(f"Restored checkpoint step {evaluator.restored_step}")
     summary, results = evaluator.run(output_fn=eval_fn)
     print(f"\nEvaluated {len(results)} samples")

@@ -8,6 +8,9 @@ through an external Caffe checkout. Flow stays pluggable here:
     NOT the FlowNet2 flow the paper's flow encoder was trained on. Models
     trained on Farneback flow are not weight-compatible with the released
     flow-encoder checkpoints.
+  * --method tpu runs the framework's own pyramidal Horn-Schunck solver on
+    the JAX device (ops/flow.py) — no OpenCV, no external binary; the same
+    FlowNet2-parity caveat applies.
   * Pass --command to run any external flow model (FlowNet2, RAFT, ...);
     the template gets {frames_dir} and {output_fn} substituted and must
     write a (T, H, W, 2) float .npy to {output_fn}. NaN outputs retry up to
@@ -36,6 +39,12 @@ def main(argv=None) -> None:
         help="External flow command template with {frames_dir} {output_fn} "
              "placeholders (e.g. FlowNet2/RAFT). Default: OpenCV Farneback — "
              "NOT FlowNet2; see --help header for the parity caveat.")
+    parser.add_argument("--method", default="farneback",
+                        choices=["farneback", "tpu"],
+                        help="Built-in flow solver when no --command is "
+                             "given: OpenCV Farneback on the host, or the "
+                             "pyramidal Horn-Schunck solver on the JAX "
+                             "device (ops/flow.py).")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute even if <yid>/flow/ already exists.")
     args = parser.parse_args(argv)
@@ -58,7 +67,7 @@ def main(argv=None) -> None:
                 and not args.overwrite:
             n_skipped += 1
             continue
-        flow_for_frames(video_dir, flow_dir, model=model)
+        flow_for_frames(video_dir, flow_dir, model=model, method=args.method)
         n_done += 1
         print(f"{yid}: flow done")
     print(f"flow: {n_done} computed, {n_skipped} skipped")

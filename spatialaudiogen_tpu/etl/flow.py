@@ -66,9 +66,15 @@ class ExternalFlowModel:
 
 
 def flow_for_frames(frames_dir: str, flow_dir: str,
-                    model: ExternalFlowModel | None = None) -> np.ndarray:
+                    model: ExternalFlowModel | None = None,
+                    method: str = "farneback") -> np.ndarray:
     """Compute flow for a video's jpg frames dir and write the compressed
-    angle/magnitude jpg + flow_limits.npy layout the feeder reads."""
+    angle/magnitude jpg + flow_limits.npy layout the feeder reads.
+
+    method: "farneback" (OpenCV, host CPU) or "tpu" (pyramidal
+    Horn-Schunck on the JAX device, ops/flow.py). Ignored when `model`
+    (an external command) is given.
+    """
     from PIL import Image
 
     from spatialaudiogen_tpu.etl.preprocess import compress_flow
@@ -77,7 +83,13 @@ def flow_for_frames(frames_dir: str, flow_dir: str,
     frames = np.stack([np.asarray(Image.open(os.path.join(frames_dir, fn)))
                        for fn in fns])
     if model is None:
-        flow = farneback_flow(frames)
+        if method == "tpu":
+            from spatialaudiogen_tpu.ops.flow import horn_schunck_flow
+
+            flow = horn_schunck_flow(frames)
+        else:
+            assert method == "farneback", method
+            flow = farneback_flow(frames)
     else:
         tmp_fn = os.path.join(flow_dir, "_raw_flow.npy")
         os.makedirs(flow_dir, exist_ok=True)

@@ -262,11 +262,12 @@ def preprocess_video_worker(job: dict):
             # so the pool parallelism covers it
             from spatialaudiogen_tpu.etl.flow import ExternalFlowModel, flow_for_frames
 
-            model = (ExternalFlowModel(job["flow"])
-                     if job["flow"] != "farneback" else None)
+            builtin = job["flow"] in ("farneback", "tpu")
+            model = None if builtin else ExternalFlowModel(job["flow"])
             flow_for_frames(os.path.join(job["frames_dir"], "video"),
                             os.path.join(job["frames_dir"], "flow"),
-                            model=model)
+                            model=model,
+                            method=job["flow"] if builtin else "farneback")
     return job["frames_dir"]
 
 
@@ -356,9 +357,11 @@ def main(argv=None) -> None:
     parser.add_argument("--flow", default=None,
                         help="Compute optical flow inside the worker pool: "
                              "'farneback' for the built-in OpenCV estimator, "
-                             "or a command template with {frames_dir} and "
-                             "{output_fn} placeholders (an external model; "
-                             "reference preprocess.py:264 --flownet2_dir).")
+                             "'tpu' for the pyramidal Horn-Schunck solver "
+                             "on the JAX device (ops/flow.py), or a command "
+                             "template with {frames_dir} and {output_fn} "
+                             "placeholders (an external model; reference "
+                             "preprocess.py:264 --flownet2_dir).")
     parser.add_argument("--dry_run", action="store_true",
                         help="Print the ffmpeg commands without running them.")
     args = parser.parse_args(argv)

@@ -54,7 +54,8 @@ class Evaluator:
                  batch_size: int = EVAL_BATCH, db_dir: str | None = None,
                  n_workers: int = 4, emd_ang_res: float = 30,
                  mesh=None, compute_dtype: str | None = None,
-                 shard_id: int | None = None, num_shards: int | None = None):
+                 shard_id: int | None = None, num_shards: int | None = None,
+                 emd_mode: str = "exact"):
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         if db_dir is not None:
@@ -62,6 +63,31 @@ class Evaluator:
         self.cfg.sample_dur = EVAL_DURATION
         self.batch_size = batch_size
         self.emd_ang_res = emd_ang_res
+        # "exact": per-sample native min-cost-flow EMD in the host pool
+        # (reference pyemd semantics). "sinkhorn": the whole batch's EMD
+        # solved on-device in one jitted annealed-Sinkhorn call
+        # (ops/sinkhorn.py; matches exact to ~1e-5 absolute, see
+        # tests/test_sinkhorn.py) — the host pool then only computes
+        # mel-LSD/envelope, which removes the dominant host metric at
+        # large eval scale.
+        assert emd_mode in ("exact", "sinkhorn"), emd_mode
+        self.emd_mode = emd_mode
+        self._emd_device_fn = None
+        if emd_mode == "sinkhorn":
+            from spatialaudiogen_tpu.ops.sinkhorn import ambix_emd_batch_fn
+
+            emd_metric = ambix_emd_batch_fn(
+                self.cfg.audio_rate, float(emd_ang_res),
+                order=self.cfg.ambi_order, window=EVAL_DURATION)
+
+            def device_emd(pred, mono, target, layout):
+                import jax.numpy as jnp
+
+                pred_m = jnp.concatenate([mono, pred], axis=2) * layout[:, None, :]
+                gt_m = jnp.concatenate([mono, target], axis=2) * layout[:, None, :]
+                return emd_metric(pred_m, gt_m)
+
+            self._emd_device_fn = jax.jit(device_emd)
         self.model = SptAudioGen(self.cfg.model_config())
         # multi-chip eval: shard the (padded, fixed-size) batch over the
         # mesh's data axis; the restored state is replicated.
@@ -137,7 +163,7 @@ class Evaluator:
         masked channels contribute to the per-channel columns and the
         3-channel means. Only EMD applies the layout mask (eval.py:188-190).
         """
-        sid, mono, gt, pred, layout, stft_d, lsd, mse, snr = sample
+        sid, mono, gt, pred, layout, stft_d, lsd, mse, snr, emd_pre = sample
         rec = OrderedDict()
         rec["stft/avg"] = float(np.mean(stft_d))
         rec["lsd/avg"] = float(np.mean(lsd))
@@ -157,10 +183,13 @@ class Evaluator:
             rec[f"mel_lsd/{ch}"] = float(mel[i])
             rec[f"env_mse/{ch}"] = float(env[i])
 
-        gt_m = np.concatenate([mono, gt], axis=1) * layout[None, :]
-        pred_m = np.concatenate([mono, pred], axis=1) * layout[None, :]
-        emd_dir, emd_dir2 = ambix_emd(pred_m, gt_m, self.cfg.audio_rate,
-                                      ang_res=self.emd_ang_res)
+        if emd_pre is not None:
+            emd_dir, emd_dir2 = emd_pre  # solved on-device (emd_mode="sinkhorn")
+        else:
+            gt_m = np.concatenate([mono, gt], axis=1) * layout[None, :]
+            pred_m = np.concatenate([mono, pred], axis=1) * layout[None, :]
+            emd_dir, emd_dir2 = ambix_emd(pred_m, gt_m, self.cfg.audio_rate,
+                                          ang_res=self.emd_ang_res)
         rec["emd/dir"] = float(emd_dir)
         rec["emd/dir2"] = float(emd_dir2)
         rec["amplitude/gt"] = float(np.abs(gt).max())
@@ -215,6 +244,11 @@ class Evaluator:
                     if self._batch_sharding is not None:
                         arrays = jax.device_put(arrays, self._batch_sharding)
                     pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
+                    emd_batch = None
+                    if self._emd_device_fn is not None:
+                        d1, d2 = self._emd_device_fn(
+                            pred, mono, target, arrays["audio_mask"])
+                        emd_batch = (np.asarray(d1), np.asarray(d2))
                     pred, mono, target = map(np.asarray, (pred, mono, target))
                     ps = {k: np.asarray(v) for k, v in per_sample.items()}
                     for smp in range(n_valid):
@@ -223,7 +257,9 @@ class Evaluator:
                                   ps["stft"][smp] * METRIC_SCALES["stft"],
                                   ps["lsd"][smp],
                                   ps["mse"][smp] * METRIC_SCALES["mse"],
-                                  ps["snr"][smp])
+                                  ps["snr"][smp],
+                                  None if emd_batch is None else
+                                  (float(emd_batch[0][smp]), float(emd_batch[1][smp])))
                         futures.append(pool.submit(self._host_metrics, sample))
                     drain(max_inflight)
                     if print_every and it % print_every == 0:

@@ -1,0 +1,200 @@
+"""Dense optical flow on TPU: batched coarse-to-fine Horn-Schunck.
+
+The reference computes the flow modality with an external FlowNet2/Caffe
+checkout on GPUs (scraping/flow.py, preprocess.py:156-204) — a native
+dependency this framework must re-provide. etl/flow.py already offers
+OpenCV Farneback (host CPU) and an external-command escape hatch; this
+module adds the TPU-native path: a classical pyramidal Horn-Schunck solver
+written entirely in jnp, so "preprocess the dataset's most expensive stage"
+can run on the same TPU that trains.
+
+TPU-first shape: every frame pair in a clip is solved as one batched
+program — a Gaussian pyramid built by strided 5-tap convs, per-level
+warp + Jacobi relaxation under lax.scan (static trip counts, no
+data-dependent control flow), bilinear warps via map_coordinates(order=1)
+vmapped over the batch. All elementwise/conv work, which XLA fuses; there
+is no per-pixel host loop anywhere (the reference's vrProjector-style
+loops are the anti-pattern).
+
+Like Farneback, this is NOT FlowNet2: models trained on it are not
+weight-compatible with the released flow-encoder checkpoints (documented
+in cli/flow.py). It is a dependency-free, hardware-local default with the
+classical smoothness prior.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+# 5-tap binomial used for both pyramid smoothing and downsampling
+_BINOMIAL5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+# Horn-Schunck neighbour average (the discrete Laplacian's stencil)
+_HS_AVG = np.array([[1 / 12, 1 / 6, 1 / 12],
+                    [1 / 6, 0.0, 1 / 6],
+                    [1 / 12, 1 / 6, 1 / 12]])
+
+
+def _sep_conv(x, k1d):
+    """Depthwise separable 2-D filter over (B, H, W), SAME edges."""
+    import jax.numpy as jnp
+
+    k = jnp.asarray(k1d, x.dtype)
+    pad = (len(k1d) - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    x = sum(xp[:, i: i + x.shape[1]] * k[i] for i in range(len(k1d)))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)), mode="edge")
+    return sum(xp[:, :, i: i + x.shape[2]] * k[i] for i in range(len(k1d)))
+
+
+def _conv3x3(x, kernel):
+    import jax.numpy as jnp
+
+    k = jnp.asarray(kernel, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    h, w = x.shape[1], x.shape[2]
+    out = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + xp[:, dy: dy + h, dx: dx + w] * k[dy, dx]
+    return out
+
+
+def _downsample(x):
+    return _sep_conv(x, _BINOMIAL5)[:, ::2, ::2]
+
+
+def _warp(img, flow_u, flow_v):
+    """Bilinear backward warp of (B, H, W) by per-pixel (u=dx, v=dy)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.ndimage import map_coordinates
+
+    h, w = img.shape[1], img.shape[2]
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=img.dtype),
+                          jnp.arange(w, dtype=img.dtype), indexing="ij")
+
+    def one(im, u, v):
+        return map_coordinates(im, [yy + v, xx + u], order=1, mode="nearest")
+
+    return jax.vmap(one)(img, flow_u, flow_v)
+
+
+def _gradients(i1, i2w):
+    """Symmetric spatial gradients (averaged over both frames) + temporal."""
+    import jax.numpy as jnp
+
+    avg = 0.5 * (i1 + i2w)
+    pad_x = jnp.pad(avg, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    pad_y = jnp.pad(avg, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    ix = 0.5 * (pad_x[:, :, 2:] - pad_x[:, :, :-2])
+    iy = 0.5 * (pad_y[:, 2:] - pad_y[:, :-2])
+    return ix, iy, i2w - i1
+
+
+def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
+    """Warp-iterate Horn-Schunck at one pyramid level (incremental flow)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    a2 = jnp.asarray(alpha * alpha, i1.dtype)
+    for _ in range(n_warps):
+        i2w = _warp(i2, u, v)
+        ix, iy, it = _gradients(i1, i2w)
+        den = a2 + ix * ix + iy * iy
+
+        def jacobi(duv, _):
+            du, dv = duv
+            dub = _conv3x3(du, _HS_AVG)
+            dvb = _conv3x3(dv, _HS_AVG)
+            t = (ix * dub + iy * dvb + it) / den
+            return (dub - ix * t, dvb - iy * t), None
+
+        (du, dv), _ = lax.scan(jacobi, (jnp.zeros_like(u), jnp.zeros_like(v)),
+                               None, length=n_iters)
+        u, v = u + du, v + dv
+    return u, v
+
+
+def _upsample_flow(u, v, shape):
+    import jax.image
+
+    new = (u.shape[0],) + tuple(shape)
+    scale_y = shape[0] / u.shape[1]
+    scale_x = shape[1] / u.shape[2]
+    return (jax.image.resize(u, new, "bilinear") * scale_x,
+            jax.image.resize(v, new, "bilinear") * scale_y)
+
+
+def _n_levels(h: int, w: int, min_size: int = 24) -> int:
+    n = 1
+    while min(h, w) // (2 ** n) >= min_size:
+        n += 1
+    return n
+
+
+def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
+               n_iters: int = 60, n_levels: int | None = None):
+    """Dense flow for a batch of gray frame pairs.
+
+    i1, i2: (B, H, W) float in [0, 1]. Returns (B, H, W, 2) with
+    [..., 0] = x-displacement, [..., 1] = y-displacement (the Farneback /
+    FlowReader convention, etl/flow.py).
+    """
+    import jax.numpy as jnp
+
+    h, w = i1.shape[1], i1.shape[2]
+    levels = _n_levels(h, w) if n_levels is None else n_levels
+    pyr1, pyr2 = [i1], [i2]
+    for _ in range(levels - 1):
+        pyr1.append(_downsample(pyr1[-1]))
+        pyr2.append(_downsample(pyr2[-1]))
+    u = jnp.zeros_like(pyr1[-1])
+    v = jnp.zeros_like(pyr1[-1])
+    for lvl in range(levels - 1, -1, -1):
+        if lvl != levels - 1:
+            u, v = _upsample_flow(u, v, pyr1[lvl].shape[1:])
+        u, v = _hs_refine(pyr1[lvl], pyr2[lvl], u, v, alpha, n_warps, n_iters)
+    return jnp.stack([u, v], axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_flow(b: int, h: int, w: int, alpha: float, n_warps: int,
+                 n_iters: int):
+    import jax
+
+    return jax.jit(functools.partial(flow_pairs, alpha=alpha, n_warps=n_warps,
+                                     n_iters=n_iters))
+
+
+def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.02,
+                      n_warps: int = 3, n_iters: int = 60,
+                      pair_batch: int = 16) -> np.ndarray:
+    """(T, H, W, 3) uint8/float frames -> (T, H, W, 2) flow (last repeats).
+
+    Drop-in twin of etl.flow.farneback_flow with the compute on the JAX
+    device. Pairs are solved in fixed-size batches of `pair_batch`
+    (zero-padded tail) so one executable serves any clip length.
+    """
+    import jax.numpy as jnp
+
+    t, h, w = frames.shape[:3]
+    if t < 2:
+        return np.zeros(frames.shape[:3] + (2,), np.float32)
+    gray = (np.asarray(frames, np.float32)
+            @ np.array([0.299, 0.587, 0.114], np.float32))
+    if frames.dtype == np.uint8 or gray.max() > 2.0:
+        gray = gray / 255.0
+    fn = _jitted_flow(pair_batch, h, w, alpha, n_warps, n_iters)
+    out = np.zeros((t, h, w, 2), np.float32)
+    for start in range(0, t - 1, pair_batch):
+        stop = min(start + pair_batch, t - 1)
+        n = stop - start
+        i1 = np.zeros((pair_batch, h, w), np.float32)
+        i2 = np.zeros((pair_batch, h, w), np.float32)
+        i1[:n] = gray[start:stop]
+        i2[:n] = gray[start + 1: stop + 1]
+        out[start:stop] = np.asarray(fn(jnp.asarray(i1), jnp.asarray(i2)))[:n]
+    out[-1] = out[-2]
+    return out

@@ -287,17 +287,26 @@ def main():
     link_mbps, link_lat = measure_h2d_link()
     d2h_mbps, d2h_lat = measure_d2h_link()
 
-    def bound_for(stats, audio_per_batch):
+    def bound_for(stats, audio_per_batch, with_latency: bool = False):
         """Link byte-flow bound: even with free decode + free compute an
         e2e figure cannot exceed audio-seconds-per-batch over the time the
         measured link needs to move that batch's H2D plus D2H bytes — per
         direction: the two tunnel directions have independent bandwidths.
         Close agreement with the measured e2e proves the figure is
-        tunnel-limited, not pipeline-limited (PERF.md)."""
+        tunnel-limited, not pipeline-limited (PERF.md).
+
+        with_latency=True adds one measured fixed roundtrip latency per
+        direction per batch (the in-order device queue serializes the
+        batch's transfers, so each batch pays ~one H2D and one D2H
+        roundtrip on top of the byte time) — a tighter model of the serial
+        floor rather than a hard bound; the flagship e2e lands within ~5%
+        of it (PERF.md round 3)."""
         batches = max(stats["batches"], 1)
-        return audio_per_batch / max(
-            stats["bytes"] / batches / 1e6 / max(link_mbps, 1e-9)
-            + stats["d2h_bytes"] / batches / 1e6 / max(d2h_mbps, 1e-9), 1e-9)
+        t = (stats["bytes"] / batches / 1e6 / max(link_mbps, 1e-9)
+             + stats["d2h_bytes"] / batches / 1e6 / max(d2h_mbps, 1e-9))
+        if with_latency:
+            t += link_lat + d2h_lat
+        return audio_per_batch / max(t, 1e-9)
 
     train_f32 = train_bf16 = None
     try:
@@ -345,6 +354,9 @@ def main():
     d2h_mb_per_batch = h2d["d2h_bytes"] / batches / 1e6
     link_bound = bound_for(h2d, E2E_BATCH * 0.1)
     audio_link_bound = bound_for(audio_h2d, E2E_AUDIO_BATCH * 0.1)
+    link_model = bound_for(h2d, E2E_BATCH * 0.1, with_latency=True)
+    audio_link_model = bound_for(audio_h2d, E2E_AUDIO_BATCH * 0.1,
+                                 with_latency=True)
     print(json.dumps({
         "metric": "deploy_realtime_factor",
         "value": round(realtime, 2),
@@ -358,6 +370,8 @@ def main():
         "e2e_h2d_mb_per_batch": round(mb_per_batch, 2),
         "e2e_d2h_mb_per_batch": round(d2h_mb_per_batch, 2),
         "e2e_link_bound": round(link_bound, 2),
+        "e2e_link_model": round(link_model, 2),
+        "e2e_audio_link_model": round(audio_link_model, 2),
         "h2d_link_mb_per_s": round(link_mbps, 1),
         "h2d_link_s_per_roundtrip": round(link_lat, 4),
         "d2h_link_mb_per_s": round(d2h_mbps, 1),

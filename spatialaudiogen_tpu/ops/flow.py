@@ -155,7 +155,13 @@ def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
     for lvl in range(levels - 1, -1, -1):
         if lvl != levels - 1:
             u, v = _upsample_flow(u, v, pyr1[lvl].shape[1:])
-        u, v = _hs_refine(pyr1[lvl], pyr2[lvl], u, v, alpha, n_warps, n_iters)
+        # Full iteration budget at the coarse (cheap) levels, halved per
+        # finer level with a floor: the coarse solve + upsample already
+        # carries the large-scale flow, so the fine levels only polish
+        # residuals — and the finest level is ~75% of the pixel count.
+        level_iters = max(n_iters // (2 ** (levels - 1 - lvl)), 16)
+        u, v = _hs_refine(pyr1[lvl], pyr2[lvl], u, v, alpha, n_warps,
+                          level_iters)
     return jnp.stack([u, v], axis=-1)
 
 

@@ -21,6 +21,12 @@ def parse_arguments(argv=None):
     parser.add_argument("--db_dir", default=None,
                         help="Override the dataset dir recorded at training time.")
     parser.add_argument("--emd_ang_res", default=30, type=float)
+    parser.add_argument("--device_metrics", action="store_true",
+                        help="Compute mel-LSD and envelope distance on the "
+                             "TPU as matmuls (ops/eval_metrics.py, matches "
+                             "the host implementations to ~1e-6). Together "
+                             "with --emd sinkhorn the whole eval battery "
+                             "runs on-chip.")
     parser.add_argument("--emd", default="exact", choices=["exact", "sinkhorn"],
                         help="EMD solver: 'exact' = per-sample native "
                              "min-cost flow on the host (reference pyemd "
@@ -60,7 +66,8 @@ def main(argv=None):
     evaluator = Evaluator(args.model_dir, subset_fn=args.subset_fn,
                           batch_size=args.batch_size, db_dir=args.db_dir,
                           emd_ang_res=args.emd_ang_res, mesh=mesh,
-                          compute_dtype=args.compute_dtype, emd_mode=args.emd)
+                          compute_dtype=args.compute_dtype, emd_mode=args.emd,
+                          device_metrics=args.device_metrics)
     print(f"Restored checkpoint step {evaluator.restored_step}")
     summary, results = evaluator.run(output_fn=eval_fn)
     print(f"\nEvaluated {len(results)} samples")

@@ -55,7 +55,7 @@ class Evaluator:
                  n_workers: int = 4, emd_ang_res: float = 30,
                  mesh=None, compute_dtype: str | None = None,
                  shard_id: int | None = None, num_shards: int | None = None,
-                 emd_mode: str = "exact"):
+                 emd_mode: str = "exact", device_metrics: bool = False):
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         if db_dir is not None:
@@ -88,6 +88,23 @@ class Evaluator:
                 return emd_metric(pred_m, gt_m)
 
             self._emd_device_fn = jax.jit(device_emd)
+        # device_metrics: mel-LSD + Hilbert-envelope computed as MXU
+        # matmuls per batch (ops/eval_metrics.py, matches the f64 host
+        # implementations to ~1e-6); with --emd sinkhorn as well, the
+        # whole battery runs on-chip and the host pool only formats rows.
+        self._spectral_device_fn = None
+        if device_metrics:
+            from spatialaudiogen_tpu.ops.eval_metrics import (
+                envelope_dist_fn, mel_lsd_batch_fn)
+
+            g = self.cfg.model_config().geometry
+            mel_fn = mel_lsd_batch_fn(self.cfg.audio_rate)
+            env_fn = envelope_dist_fn(g.snd_dur)
+
+            def spectral(pred, target):
+                return mel_fn(pred, target), env_fn(pred, target)
+
+            self._spectral_device_fn = jax.jit(spectral)
         self.model = SptAudioGen(self.cfg.model_config())
         # multi-chip eval: shard the (padded, fixed-size) batch over the
         # mesh's data axis; the restored state is replicated.
@@ -163,7 +180,8 @@ class Evaluator:
         masked channels contribute to the per-channel columns and the
         3-channel means. Only EMD applies the layout mask (eval.py:188-190).
         """
-        sid, mono, gt, pred, layout, stft_d, lsd, mse, snr, emd_pre = sample
+        (sid, mono, gt, pred, layout, stft_d, lsd, mse, snr, emd_pre,
+         mel_env_pre) = sample
         rec = OrderedDict()
         rec["stft/avg"] = float(np.mean(stft_d))
         rec["lsd/avg"] = float(np.mean(lsd))
@@ -175,8 +193,11 @@ class Evaluator:
             rec[f"mse/{ch}"] = float(mse[i])
             rec[f"snr/{ch}"] = float(snr[i])
 
-        mel = compute_mel_lsd(pred, gt, self.cfg.audio_rate)
-        env = compute_envelope_dist(pred, gt)
+        if mel_env_pre is not None:
+            mel, env = mel_env_pre  # computed on-device (--device_metrics)
+        else:
+            mel = compute_mel_lsd(pred, gt, self.cfg.audio_rate)
+            env = compute_envelope_dist(pred, gt)
         rec["mel_lsd/avg"] = float(np.mean(mel))
         rec["env_mse/avg"] = float(np.mean(env))
         for i, ch in zip(range(3), "YZX"):
@@ -244,11 +265,14 @@ class Evaluator:
                     if self._batch_sharding is not None:
                         arrays = jax.device_put(arrays, self._batch_sharding)
                     pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
-                    emd_batch = None
+                    emd_batch = spectral_batch = None
                     if self._emd_device_fn is not None:
                         d1, d2 = self._emd_device_fn(
                             pred, mono, target, arrays["audio_mask"])
                         emd_batch = (np.asarray(d1), np.asarray(d2))
+                    if self._spectral_device_fn is not None:
+                        mel, env = self._spectral_device_fn(pred, target)
+                        spectral_batch = (np.asarray(mel), np.asarray(env))
                     pred, mono, target = map(np.asarray, (pred, mono, target))
                     ps = {k: np.asarray(v) for k, v in per_sample.items()}
                     for smp in range(n_valid):
@@ -259,7 +283,9 @@ class Evaluator:
                                   ps["mse"][smp] * METRIC_SCALES["mse"],
                                   ps["snr"][smp],
                                   None if emd_batch is None else
-                                  (float(emd_batch[0][smp]), float(emd_batch[1][smp])))
+                                  (float(emd_batch[0][smp]), float(emd_batch[1][smp])),
+                                  None if spectral_batch is None else
+                                  (spectral_batch[0][smp], spectral_batch[1][smp]))
                         futures.append(pool.submit(self._host_metrics, sample))
                     drain(max_inflight)
                     if print_every and it % print_every == 0:

@@ -51,6 +51,10 @@ def main(argv=None) -> None:
 
     from spatialaudiogen_tpu.etl.flow import ExternalFlowModel, flow_for_frames
 
+    if args.method == "tpu":
+        from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+        enable_compile_cache()  # tunnel compiles are minutes; cache persists
     model = ExternalFlowModel(args.command) if args.command else None
     with open(args.db_list) as f:
         yids = [ln.strip().split()[0] for ln in f if ln.strip()]

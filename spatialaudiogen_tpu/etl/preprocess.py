@@ -273,6 +273,9 @@ def preprocess_video_worker(job: dict):
 
 def preprocess_all(jobs: list, n_workers: int = 4):
     """Process-parallel ETL over per-video jobs (preprocess.py:234-285)."""
+    assert n_workers <= 1 or not any(j.get("flow") == "tpu" for j in jobs), \
+        "flow='tpu' must not run inside the worker pool (forked workers " \
+        "would each initialize the TPU); run it as a post-pass (see main)"
     if n_workers <= 1:
         return [preprocess_video_worker(j) for j in jobs]
     with mp.Pool(n_workers) as pool:
@@ -373,13 +376,34 @@ def main(argv=None) -> None:
     os.makedirs(args.output_frames_dir, exist_ok=True)
     if args.prep_hr_video:
         os.makedirs(args.output_prep_hr_dir, exist_ok=True)
+    # --flow tpu must NOT run inside the worker pool: N forked workers
+    # would each initialize the (process-exclusive, tunnel-convoying) TPU
+    # backend and pay their own compile. The device solves all frame pairs
+    # of a video as one batched program anyway, so TPU flow runs as a
+    # serial post-pass in this process while the pool keeps covering the
+    # ffmpeg/decode stages (host-side flow stays inside the workers,
+    # reference preprocess.py:264 semantics).
+    pool_flow = None if args.flow == "tpu" else args.flow
     jobs = build_jobs(args.db_list, args.orig_dir, args.output_prep_dir,
                       args.output_frames_dir, low_res=args.low_res,
                       dry_run=args.dry_run,
                       prep_hr_dir=args.output_prep_hr_dir if args.prep_hr_video else None,
-                      flow=args.flow)
+                      flow=pool_flow)
     print(f"{len(jobs)} videos to preprocess")
     preprocess_all(jobs, n_workers=1 if args.dry_run else args.num_workers)
+    if args.flow == "tpu" and not args.dry_run:
+        from spatialaudiogen_tpu.etl.flow import flow_for_frames
+        from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+        enable_compile_cache()
+        for job in jobs:
+            video_dir = os.path.join(job["frames_dir"], "video")
+            flow_dir = os.path.join(job["frames_dir"], "flow")
+            if not os.path.isdir(video_dir) or \
+                    os.path.exists(os.path.join(flow_dir, "flow_limits.npy")):
+                continue
+            flow_for_frames(video_dir, flow_dir, method="tpu")
+            print(f"flow (tpu): {job['frames_dir']}")
 
 
 if __name__ == "__main__":

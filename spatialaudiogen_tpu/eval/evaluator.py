@@ -76,9 +76,12 @@ class Evaluator:
         if emd_mode == "sinkhorn":
             from spatialaudiogen_tpu.ops.sinkhorn import ambix_emd_batch_fn
 
+            # window=0.1 unconditionally: the exact path (ambix_emd ->
+            # SphericalAmbisonicsVisualizer) hardcodes 0.1 s map frames
+            # (reference distance.py:131), independent of EVAL_DURATION.
             emd_metric = ambix_emd_batch_fn(
                 self.cfg.audio_rate, float(emd_ang_res),
-                order=self.cfg.ambi_order, window=EVAL_DURATION)
+                order=self.cfg.ambi_order, window=0.1)
 
             def device_emd(pred, mono, target, layout):
                 import jax.numpy as jnp

@@ -26,7 +26,9 @@ import functools
 
 import numpy as np
 
+from spatialaudiogen_tpu.dsp.stft import hann_window
 from spatialaudiogen_tpu.eval.host_metrics import mel_filterbank
+from spatialaudiogen_tpu.ops.dft import _half_basis
 
 N_FFT = 2048
 HOP = 512
@@ -37,13 +39,13 @@ EPS = 1e-2  # myutils.py:103 log floor
 
 @functools.lru_cache(maxsize=4)
 def _dft_mats(n_fft: int = N_FFT):
-    """Real-DFT bases (n_fft, n_fft//2+1), windowed by periodic hann."""
-    n = np.arange(n_fft)
-    k = np.arange(n_fft // 2 + 1)
-    ang = 2.0 * np.pi * np.outer(n, k) / n_fft
-    win = 0.5 - 0.5 * np.cos(2 * np.pi * n / n_fft)
-    return ((np.cos(ang) * win[:, None]).astype(np.float32),
-            (np.sin(ang) * win[:, None]).astype(np.float32))
+    """Real-DFT bases (n_fft, n_fft//2+1) from the shared matmul-DFT path
+    (ops/dft.py), with the periodic hann folded in (power spectra are
+    sign-of-angle invariant, so the half bases serve directly)."""
+    cos_kn, sin_kn = _half_basis(n_fft)
+    win = hann_window(n_fft).astype(np.float32)
+    return ((cos_kn.T * win[:, None]).astype(np.float32),
+            (sin_kn.T * win[:, None]).astype(np.float32))
 
 
 @functools.lru_cache(maxsize=4)
@@ -81,7 +83,10 @@ def mel_lsd_batch_fn(rate: int, n_mels: int = N_MELS, fmax: float = FMAX):
         # x: (B, T, C) -> (B, F, n_mels, C) in dB
         cos_m, sin_m = jnp.asarray(cos_np), jnp.asarray(sin_np)
         fb = jnp.asarray(fb_np)
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+        # host twin pads constant when the signal is shorter than the pad
+        # (host_metrics._stft_power; reflect would raise there and here)
+        mode = "reflect" if x.shape[1] > pad else "constant"
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode=mode)
         n_frames = 1 + (xp.shape[1] - N_FFT) // HOP
         frames = jnp.stack([xp[:, i * HOP: i * HOP + N_FFT] for i in
                             range(n_frames)], axis=1)      # (B, F, W, C)

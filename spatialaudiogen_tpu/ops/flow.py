@@ -166,8 +166,9 @@ def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_flow(b: int, h: int, w: int, alpha: float, n_warps: int,
-                 n_iters: int):
+def _jitted_flow(alpha: float, n_warps: int, n_iters: int):
+    """One jit wrapper per hyperparameter set; jax.jit itself caches the
+    compiled executable per input shape."""
     import jax
 
     return jax.jit(functools.partial(flow_pairs, alpha=alpha, n_warps=n_warps,
@@ -192,7 +193,7 @@ def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.02,
             @ np.array([0.299, 0.587, 0.114], np.float32))
     if frames.dtype == np.uint8 or gray.max() > 2.0:
         gray = gray / 255.0
-    fn = _jitted_flow(pair_batch, h, w, alpha, n_warps, n_iters)
+    fn = _jitted_flow(alpha, n_warps, n_iters)
     out = np.zeros((t, h, w, 2), np.float32)
     for start in range(0, t - 1, pair_batch):
         stop = min(start + pair_batch, t - 1)

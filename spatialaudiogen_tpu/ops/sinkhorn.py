@@ -31,12 +31,10 @@ DEFAULT_ITERS = 200
 
 
 def _logsumexp(x, axis):
-    import jax.numpy as jnp
+    from jax.nn import logsumexp  # handles all -inf slices via the same
+                                  # finite-max shift this module needs
 
-    m = jnp.max(x, axis=axis, keepdims=True)
-    m = jnp.where(jnp.isfinite(m), m, 0.0)  # all -inf rows stay -inf cleanly
-    return jnp.squeeze(m, axis) + jnp.log(
-        jnp.sum(jnp.exp(x - m), axis=axis))
+    return logsumexp(x, axis=axis)
 
 
 def sinkhorn_cost(p, q, cost, epsilon: float = DEFAULT_EPSILON,

@@ -321,3 +321,18 @@ def test_build_jobs_from_downloads(tmp_path):
     from spatialaudiogen_tpu.etl.preprocess import preprocess_all
 
     assert preprocess_all(jobs, n_workers=1) == [j["frames_dir"] for j in jobs]
+
+
+def test_preprocess_pool_rejects_tpu_flow(tmp_path):
+    """flow='tpu' must not enter the worker pool: forked workers would each
+    initialize the (process-exclusive) TPU backend. main() runs TPU flow as
+    a serial post-pass instead; the pool guard is the backstop for direct
+    API users."""
+    import pytest
+
+    from spatialaudiogen_tpu.etl.preprocess import preprocess_all
+
+    job = {"audio_fn": "x", "prep_audio_fn": "x", "codec": "opus",
+           "frames_dir": str(tmp_path / "f"), "flow": "tpu"}
+    with pytest.raises(AssertionError, match="worker pool"):
+        preprocess_all([job, job], n_workers=2)

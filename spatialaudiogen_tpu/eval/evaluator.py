@@ -105,7 +105,14 @@ class Evaluator:
             env_fn = envelope_dist_fn(g.snd_dur)
 
             def spectral(pred, target):
-                return mel_fn(pred, target), env_fn(pred, target)
+                import jax.numpy as jnp
+
+                # amplitudes ride along so the fully-on-device mode
+                # (together with emd_mode="sinkhorn") never needs the
+                # ~2 MB/batch prediction fetch at all
+                amp = (jnp.max(jnp.abs(pred), axis=(1, 2)),
+                       jnp.max(jnp.abs(target), axis=(1, 2)))
+                return mel_fn(pred, target), env_fn(pred, target), amp
 
             self._spectral_device_fn = jax.jit(spectral)
         self.model = SptAudioGen(self.cfg.model_config())
@@ -197,10 +204,12 @@ class Evaluator:
             rec[f"snr/{ch}"] = float(snr[i])
 
         if mel_env_pre is not None:
-            mel, env = mel_env_pre  # computed on-device (--device_metrics)
+            # computed on-device (--device_metrics), amplitudes included
+            mel, env, amp_pred, amp_gt = mel_env_pre
         else:
             mel = compute_mel_lsd(pred, gt, self.cfg.audio_rate)
             env = compute_envelope_dist(pred, gt)
+            amp_pred, amp_gt = np.abs(pred).max(), np.abs(gt).max()
         rec["mel_lsd/avg"] = float(np.mean(mel))
         rec["env_mse/avg"] = float(np.mean(env))
         for i, ch in zip(range(3), "YZX"):
@@ -216,8 +225,8 @@ class Evaluator:
                                           ang_res=self.emd_ang_res)
         rec["emd/dir"] = float(emd_dir)
         rec["emd/dir2"] = float(emd_dir2)
-        rec["amplitude/gt"] = float(np.abs(gt).max())
-        rec["amplitude/predicted"] = float(np.abs(pred).max())
+        rec["amplitude/gt"] = float(amp_gt)
+        rec["amplitude/predicted"] = float(amp_pred)
         return sid, rec
 
     def run(self, output_fn: str | None = None, host_threads: int = 8,
@@ -274,9 +283,16 @@ class Evaluator:
                             pred, mono, target, arrays["audio_mask"])
                         emd_batch = (np.asarray(d1), np.asarray(d2))
                     if self._spectral_device_fn is not None:
-                        mel, env = self._spectral_device_fn(pred, target)
-                        spectral_batch = (np.asarray(mel), np.asarray(env))
-                    pred, mono, target = map(np.asarray, (pred, mono, target))
+                        mel, env, amp = self._spectral_device_fn(pred, target)
+                        spectral_batch = (np.asarray(mel), np.asarray(env),
+                                          np.asarray(amp[0]), np.asarray(amp[1]))
+                    if emd_batch is not None and spectral_batch is not None:
+                        # fully on-device battery: the per-sample audio is
+                        # never consumed on the host — skip the ~2 MB/batch
+                        # prediction fetch entirely
+                        pred = mono = target = [None] * self.batch_size
+                    else:
+                        pred, mono, target = map(np.asarray, (pred, mono, target))
                     ps = {k: np.asarray(v) for k, v in per_sample.items()}
                     for smp in range(n_valid):
                         sample = (batch["id"][smp], mono[smp], target[smp], pred[smp],
@@ -288,7 +304,9 @@ class Evaluator:
                                   None if emd_batch is None else
                                   (float(emd_batch[0][smp]), float(emd_batch[1][smp])),
                                   None if spectral_batch is None else
-                                  (spectral_batch[0][smp], spectral_batch[1][smp]))
+                                  (spectral_batch[0][smp], spectral_batch[1][smp],
+                                   float(spectral_batch[2][smp]),
+                                   float(spectral_batch[3][smp])))
                         futures.append(pool.submit(self._host_metrics, sample))
                     drain(max_inflight)
                     if print_every and it % print_every == 0:

@@ -91,6 +91,7 @@ class Evaluator:
                 return emd_metric(pred_m, gt_m)
 
             self._emd_device_fn = jax.jit(device_emd)
+            _raw_emd = device_emd
         # device_metrics: mel-LSD + Hilbert-envelope computed as MXU
         # matmuls per batch (ops/eval_metrics.py, matches the f64 host
         # implementations to ~1e-6); with --emd sinkhorn as well, the
@@ -115,6 +116,23 @@ class Evaluator:
                 return mel_fn(pred, target), env_fn(pred, target), amp
 
             self._spectral_device_fn = jax.jit(spectral)
+        # Fully-on-device battery: ONE packed (B, 22) result per batch.
+        # On a tunneled host every np.asarray is a ~30-40 ms roundtrip, so
+        # fetching stft/lsd/mse/snr leaves + emd pair + spectral triple
+        # separately costs ~8 roundtrips/batch; the pack makes it one.
+        self._battery_device_fn = None
+        if self._emd_device_fn is not None and self._spectral_device_fn is not None:
+
+            def battery(pred, mono, target, layout, stft_d, lsd, mse, snr):
+                import jax.numpy as jnp
+
+                d1, d2 = _raw_emd(pred, mono, target, layout)
+                mel, env, amp = spectral(pred, target)
+                return jnp.concatenate(
+                    [stft_d, lsd, mse, snr, mel, env, d1[:, None], d2[:, None],
+                     amp[0][:, None], amp[1][:, None]], axis=1)
+
+            self._battery_device_fn = jax.jit(battery)
         self.model = SptAudioGen(self.cfg.model_config())
         # multi-chip eval: shard the (padded, fixed-size) batch over the
         # mesh's data axis; the restored state is replicated.
@@ -278,22 +296,30 @@ class Evaluator:
                         arrays = jax.device_put(arrays, self._batch_sharding)
                     pred, mono, target, metrics, per_sample = self.eval_fn(self.state, arrays)
                     emd_batch = spectral_batch = None
-                    if self._emd_device_fn is not None:
-                        d1, d2 = self._emd_device_fn(
-                            pred, mono, target, arrays["audio_mask"])
-                        emd_batch = (np.asarray(d1), np.asarray(d2))
-                    if self._spectral_device_fn is not None:
-                        mel, env, amp = self._spectral_device_fn(pred, target)
-                        spectral_batch = (np.asarray(mel), np.asarray(env),
-                                          np.asarray(amp[0]), np.asarray(amp[1]))
-                    if emd_batch is not None and spectral_batch is not None:
-                        # fully on-device battery: the per-sample audio is
-                        # never consumed on the host — skip the ~2 MB/batch
-                        # prediction fetch entirely
+                    if self._battery_device_fn is not None:
+                        # one packed fetch; the per-sample audio is never
+                        # consumed on the host — no ~2 MB prediction fetch
+                        pack = np.asarray(self._battery_device_fn(
+                            pred, mono, target, arrays["audio_mask"],
+                            per_sample["stft"], per_sample["lsd"],
+                            per_sample["mse"], per_sample["snr"]))
+                        ps = {"stft": pack[:, 0:3], "lsd": pack[:, 3:6],
+                              "mse": pack[:, 6:9], "snr": pack[:, 9:12]}
+                        spectral_batch = (pack[:, 12:15], pack[:, 15:18],
+                                          pack[:, 20], pack[:, 21])
+                        emd_batch = (pack[:, 18], pack[:, 19])
                         pred = mono = target = [None] * self.batch_size
                     else:
+                        if self._emd_device_fn is not None:
+                            d1, d2 = self._emd_device_fn(
+                                pred, mono, target, arrays["audio_mask"])
+                            emd_batch = (np.asarray(d1), np.asarray(d2))
+                        if self._spectral_device_fn is not None:
+                            mel, env, amp = self._spectral_device_fn(pred, target)
+                            spectral_batch = (np.asarray(mel), np.asarray(env),
+                                              np.asarray(amp[0]), np.asarray(amp[1]))
                         pred, mono, target = map(np.asarray, (pred, mono, target))
-                    ps = {k: np.asarray(v) for k, v in per_sample.items()}
+                        ps = {k: np.asarray(v) for k, v in per_sample.items()}
                     for smp in range(n_valid):
                         sample = (batch["id"][smp], mono[smp], target[smp], pred[smp],
                                   batch["audio_mask"][smp],

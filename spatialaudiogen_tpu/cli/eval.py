@@ -69,7 +69,10 @@ def main(argv=None):
                           compute_dtype=args.compute_dtype, emd_mode=args.emd,
                           device_metrics=args.device_metrics)
     print(f"Restored checkpoint step {evaluator.restored_step}")
-    summary, results = evaluator.run(output_fn=eval_fn)
+    # output_fn=None -> the evaluator's shard-aware default (multi-host
+    # runs write eval-detailed.txt.shard{K} so processes never clobber
+    # each other; single-host writes exactly `eval_fn` as guarded above)
+    summary, results = evaluator.run(output_fn=None)
     print(f"\nEvaluated {len(results)} samples")
     for key, value in summary.items():
         print(f"EVAL | {key}: {value:f}")

@@ -65,31 +65,51 @@ def pack_rate(folder: str) -> int:
 # ---------------------------------------------------------------------------
 
 def _pack_audio(folder: str, out_dir: str, meta: dict) -> None:
+    """Stream the clip's audio into a memmapped .npy, one second at a time
+    (a 10-minute 4-ch clip never holds more than ~400 KB in RAM; the old
+    concatenate-then-check version transiently held ~3x the full clip,
+    which multiplied across pack_all's worker pool)."""
     from spatialaudiogen_tpu.data.readers import AudioChunkReader
+    from spatialaudiogen_tpu.utils.io_audio import pcm16_exact
 
     # ambi_order=10 caps channels at 121: the pack stores EVERY recorded
     # channel; readers re-apply their own ambi_order cut at read time
     reader = AudioChunkReader(os.path.join(folder, "ambix"), rate=None,
                               ambi_order=10)
     rate = int(reader.rate)
-    seconds = [reader._load_second(i)[:, : reader.num_channels]
-               for i in range(reader.num_files)]
-    for i, sec in enumerate(seconds[:-1]):
-        # AudioChunkReader.get indexes the concatenation at i*rate; packing
-        # is only layout-equivalent when every non-final chunk is exactly 1 s
-        assert sec.shape[0] == rate, \
-            f"{folder}: chunk {i} holds {sec.shape[0]} frames, expected {rate}"
-    data = np.concatenate(seconds, axis=0).astype(np.float32)
-    i16 = np.clip(np.round(data * 32768.0), -32768, 32767)
-    if np.array_equal(i16.astype(np.float32) / 32768.0, data):
-        arr = i16.astype(np.int16)  # lossless for PCM16-sourced wavs
-    else:
-        arr = data
-    np.save(os.path.join(out_dir, "ambix.npy"), arr)
+    nch = int(reader.num_channels)
+
+    def seconds():
+        for i in range(reader.num_files):
+            yield i, reader._load_second(i)[:, :nch].astype(np.float32)
+
+    # pass 1: sizes + the int16-losslessness decision (whole clip)
+    counts, all_exact = [], True
+    for i, sec in seconds():
+        if i < reader.num_files - 1:
+            # AudioChunkReader.get indexes the concatenation at i*rate;
+            # packing is only layout-equivalent when every non-final chunk
+            # is exactly 1 s
+            assert sec.shape[0] == rate, \
+                f"{folder}: chunk {i} holds {sec.shape[0]} frames, expected {rate}"
+        counts.append(sec.shape[0])
+        all_exact = all_exact and pcm16_exact(sec) is not None
+    dtype = np.int16 if all_exact else np.float32  # lossless when PCM16-sourced
+    out = np.lib.format.open_memmap(
+        os.path.join(out_dir, "ambix.npy"), mode="w+", dtype=dtype,
+        shape=(int(sum(counts)), nch))
+    # pass 2: write (the reader's 16-second decode cache makes the second
+    # decode of short clips free; long clips re-decode natively, cheap)
+    pos = 0
+    for i, sec in seconds():
+        out[pos: pos + sec.shape[0]] = pcm16_exact(sec) if all_exact else sec
+        pos += sec.shape[0]
+    out.flush()
+    del out
     meta["rate"] = rate
-    meta["num_channels"] = int(reader.num_channels)
+    meta["num_channels"] = nch
     meta["num_files"] = int(reader.num_files)
-    meta["audio_dtype"] = str(arr.dtype)
+    meta["audio_dtype"] = str(np.dtype(dtype))
 
 
 def _pack_frames(video_dir: str, out_fn: str, batch: int = 64):
@@ -168,12 +188,10 @@ class PackedAudioReader:
 
     def get(self, start_time: float, size: int,
             rotation: float | None = None) -> np.ndarray:
-        # identical window arithmetic to AudioChunkReader.get (readers.py)
-        start_frame = int(round(start_time * self.rate))
-        pad_before = max(-start_frame, 0)
-        start_frame = max(start_frame, 0)
-        pad_after = max(start_frame + size - pad_before - self.num_frames, 0)
-        n_read = size - pad_before - pad_after
+        from spatialaudiogen_tpu.data.readers import audio_window_bounds
+
+        start_frame, pad_before, n_read = audio_window_bounds(
+            start_time, self.rate, size, self.num_frames)
 
         out = np.zeros((size, self.num_channels), dtype=np.float32)
         if n_read > 0:
@@ -209,10 +227,10 @@ class PackedVideoReader:
             np.zeros(self.raw_shape, np.uint8)).shape
 
     def frame_indices(self, start_time: float, size: int) -> list:
-        ss = max(int(start_time * self.RAW_RATE), 0)
-        step = self.RAW_RATE / self.rate
-        return [min(ss + int(i * step), self.num_frames - 1)
-                for i in range(size)]
+        from spatialaudiogen_tpu.data.readers import raw_frame_indices
+
+        return raw_frame_indices(start_time, self.RAW_RATE, self.rate, size,
+                                 self.num_frames)
 
     def get_by_index(self, start_time: float, size: int,
                      rotation: float | None = None) -> np.ndarray:

@@ -33,6 +33,40 @@ def _load_jpg(path: str) -> np.ndarray:
         return np.asarray(img)
 
 
+def audio_window_bounds(start_time: float, rate: float, size: int,
+                        num_frames: int) -> tuple[int, int, int]:
+    """(start_frame, pad_before, n_read) for a [start, start+size) window.
+
+    Round-to-nearest, not truncation: float times like 1.4 - 0.5 land at
+    43199.99999999999 samples; the reference truncates (feeder.py:66) and
+    drifts one sample early on such windows — we align exactly. The single
+    source of truth for this arithmetic: AudioChunkReader and
+    packed.PackedAudioReader both call it (their window-for-window parity
+    is pinned in tests/test_packed.py).
+    """
+    start_frame = int(round(start_time * rate))
+    pad_before = max(-start_frame, 0)
+    start_frame = max(start_frame, 0)
+    pad_after = max(start_frame + size - pad_before - num_frames, 0)
+    return start_frame, pad_before, size - pad_before - pad_after
+
+
+def raw_frame_indices(start_time: float, raw_rate: float, rate: float,
+                      size: int, num_frames: int) -> list:
+    """Raw on-disk frame numbers for a window, clamped at the last frame.
+
+    Frames are stored at raw_rate; requested rates below it subsample (step
+    raw_rate/rate). The reference's FrameReader.get_by_index
+    (video.py:172-181) indexed at the requested fps and so read wrong frames
+    for fps != raw — a plain bug, fixed here; for rate == raw_rate the
+    indices are bit-identical to the reference's. Shared by VideoFrameReader
+    and packed.PackedVideoReader.
+    """
+    ss = max(int(start_time * raw_rate), 0)
+    step = raw_rate / rate
+    return [min(ss + int(i * step), num_frames - 1) for i in range(size)]
+
+
 class AudioChunkReader:
     """Reads arbitrary [start_time, start_time+size) windows from 1 s wavs.
 
@@ -94,14 +128,8 @@ class AudioChunkReader:
         return out[:frames]
 
     def get(self, start_time: float, size: int, rotation: float | None = None) -> np.ndarray:
-        # round-to-nearest, not truncation: float times like 1.4 - 0.5 land at
-        # 43199.99999999999 samples; the reference truncates (feeder.py:66)
-        # and drifts one sample early on such windows — we align exactly.
-        start_frame = int(round(start_time * self.rate))
-        pad_before = max(-start_frame, 0)
-        start_frame = max(start_frame, 0)
-        pad_after = max(start_frame + size - pad_before - self.num_frames, 0)
-        n_read = size - pad_before - pad_after
+        start_frame, pad_before, n_read = audio_window_bounds(
+            start_time, self.rate, size, self.num_frames)
 
         out = np.zeros((size, self.num_channels), dtype=np.float32)
         if n_read > 0:
@@ -183,18 +211,8 @@ class VideoFrameReader:
         return out if n == len(frame_nos) else None
 
     def frame_indices(self, start_time: float, size: int) -> list:
-        """Raw on-disk frame numbers for a window, clamped at the last frame.
-
-        Frames are stored at RAW_RATE; requested rates below it subsample
-        (step RAW_RATE/rate). The reference's FrameReader.get_by_index
-        (video.py:172-181) indexed at the requested fps and so read wrong
-        frames for fps != 10 — a plain bug, fixed here; for rate == RAW_RATE
-        the indices are bit-identical to the reference's.
-        """
-        ss = max(int(start_time * self.RAW_RATE), 0)
-        step = self.RAW_RATE / self.rate
-        return [min(ss + int(i * step), self.num_frames - 1)
-                for i in range(size)]
+        return raw_frame_indices(start_time, self.RAW_RATE, self.rate, size,
+                                 self.num_frames)
 
     def yuv420_supported(self) -> bool:
         """True when frames can ship as raw 4:2:0 planes (native decoder

@@ -127,7 +127,9 @@ class MonoToAmbix:
         # fetch — halves the dominant return-path bytes. The transport
         # error (~5e-4 relative) sits ~-76 dBFS on typical levels, under
         # any listening threshold though ~4 bits above PCM16's floor;
-        # False restores the f32-exact fetch for parity work.
+        # False restores the f32-exact fetch for parity work. Baked into
+        # the jitted fwd_span at construction — mutating the attribute
+        # afterwards has no effect (jit caches the traced closure).
         self.f16_fetch = f16_fetch
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
@@ -212,7 +214,7 @@ class MonoToAmbix:
                     video = video_u8.astype(jnp.float32) / 255.0 - 0.5
                 video = video * valid[:, None, None, None, None]
             out = fwd(state, audio, video, None)
-            if self.f16_fetch:
+            if f16_fetch:  # the ctor arg, not self: trace-time constant
                 out = out.astype(jnp.float16)
             # flatten BEFORE the fetch: repacking the (B, snd_dur, 3)
             # tiled layout on device (HBM-bandwidth, ~us) lets the tunnel
@@ -359,12 +361,14 @@ class MonoToAmbix:
                 [span[r + g.nosep_ss: r + g.nosep_ss + g.snd_dur, :1]
                  for r in rel[:n]], 0)
             # ship PCM16-sourced spans as int16 (exactly invertible on
-            # device: wav decode is int16/32768, utils/io_audio.py); any
-            # span not exactly on the PCM16 grid stays f32. Mono was
-            # extracted above, so the passthrough stays float regardless.
-            i16 = np.clip(np.round(span * 32768.0), -32768, 32767)
-            if np.array_equal(i16.astype(np.float32) / 32768.0, span):
-                span = i16.astype(np.int16)
+            # device: wav decode is int16/32768); any span not exactly on
+            # the PCM16 grid stays f32. Mono was extracted above, so the
+            # passthrough stays float regardless.
+            from spatialaudiogen_tpu.utils.io_audio import pcm16_exact
+
+            i16 = pcm16_exact(span)
+            if i16 is not None:
+                span = i16
             valid = (np.arange(B) < n).astype(np.float32)
             yield n, span, rel, valid, video_u8, mono
 

@@ -258,7 +258,15 @@ class Evaluator:
         results, so a crash at sample N loses at most the unflushed tail
         instead of all N rows.
         """
-        output_fn = output_fn or os.path.join(self.cfg.model_dir, "eval-detailed.txt")
+        if output_fn is None:
+            # multi-host: each process scores a disjoint shard and must not
+            # clobber the others' rows on a shared model_dir — the default
+            # filename gains a per-shard suffix (cat the shards, or point
+            # sag-parse-eval at each; the returned summary likewise covers
+            # only this process's shard).
+            suffix = (f".shard{self.shard_id}" if self.num_shards > 1 else "")
+            output_fn = os.path.join(self.cfg.model_dir,
+                                     "eval-detailed.txt" + suffix)
         if max_inflight is None:
             max_inflight = 2 * host_threads + self.batch_size
         results: list = []

@@ -97,6 +97,20 @@ def load_wav(path: str, rate: int | None = None, dtype=np.float64):
     return data, float(in_rate)
 
 
+def pcm16_exact(data: np.ndarray) -> np.ndarray | None:
+    """int16 image of `data` if it sits exactly on the PCM16 grid, else None.
+
+    PCM16 decode here is int16/32768 (read_wav_raw), so float audio that
+    originated from PCM16 round-trips losslessly through this cast. Shared
+    by the deploy int16 span transport and the sag-pack audio writer so the
+    two sites can never disagree on what "lossless" means.
+    """
+    i16 = np.clip(np.round(data * 32768.0), -32768, 32767)
+    if np.array_equal(i16.astype(data.dtype) / 32768.0, data):
+        return i16.astype(np.int16)
+    return None
+
+
 def save_wav(path: str, data: np.ndarray, rate: int, subtype: str = "pcm16"):
     """Write (frames, channels) float data in [-1, 1] as PCM16/float32 wav."""
     data = np.asarray(data)

@@ -1,0 +1,96 @@
+"""Streaming mono->FOA serving over a wav (the file-fed face of the live
+serving mode, deploy/stream.py).
+
+Reads INPUT_WAV's first channel in 0.1 s blocks (plus 10 fps frames from
+--frames_dir for video models), pushes them through StreamingMonoToAmbix,
+and writes the FOA output wav. `--realtime` paces the pushes at wall-clock
+rate and reports whether serving kept up; without it the stream is pushed
+as fast as the chip drains it. Per-window serve latency stats print either
+way.
+
+    sag-serve MODEL_DIR input.wav output.wav [--frames_dir D] [--realtime]
+
+Outputs are bit-identical to `sag-deploy --batch_size 1` over the same
+samples (tests/test_stream.py pins the engine-level equality).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    parser.add_argument("model_dir")
+    parser.add_argument("input_wav", help="Mono (or first-channel) source.")
+    parser.add_argument("output_wav")
+    parser.add_argument("--frames_dir", default=None,
+                        help="10 fps jpg frames dir (video models).")
+    parser.add_argument("--realtime", action="store_true",
+                        help="Pace pushes at wall-clock rate instead of "
+                             "as-fast-as-possible.")
+    parser.add_argument("--compute_dtype", default=None,
+                        choices=["float32", "bfloat16"])
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
+    from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+    from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
+
+    enable_compile_cache()
+    stream = StreamingMonoToAmbix(args.model_dir,
+                                  compute_dtype=args.compute_dtype)
+    rate = stream.cfg.audio_rate
+    block = stream.geometry.snd_dur  # one 0.1 s push per frame period
+
+    data, in_rate = load_wav(args.input_wav, rate, dtype=np.float32)
+    mono = data if data.ndim == 1 else data[:, 0]
+
+    frames = None
+    if "video" in stream.cfg.encoders:
+        assert args.frames_dir, "video model: pass --frames_dir"
+        from spatialaudiogen_tpu.data.readers import VideoFrameReader
+
+        reader = VideoFrameReader(args.frames_dir,
+                                  rate=VideoFrameReader.RAW_RATE,
+                                  img_prep=lambda x: x)
+        frames = [reader.get_by_index(i / 10.0, 1)[0]
+                  for i in range(int(np.ceil(len(mono) / block)))]
+
+    chunks, lat = [], []
+    t_start = time.perf_counter()
+    for k in range(0, len(mono), block):
+        if args.realtime:
+            target = t_start + k / rate
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+        frame = frames[k // block] if frames is not None else None
+        t0 = time.perf_counter()
+        out = stream.push(mono[k: k + block], frame)
+        if out:
+            lat.append(time.perf_counter() - t0)
+            chunks.extend(out)
+
+    assert chunks, "input shorter than one serving window (need > 1.1 s)"
+    foa = np.concatenate(chunks, axis=0)
+    save_wav(args.output_wav, foa, rate)
+    lat_ms = np.array(lat) * 1e3
+    served = foa.shape[0] / rate
+    wall = time.perf_counter() - t_start
+    print(f"served {served:.1f} s of FOA in {wall:.1f} s "
+          f"({served / wall:.1f}x realtime); per-window serve latency "
+          f"median {np.median(lat_ms):.1f} ms / p90 "
+          f"{np.percentile(lat_ms, 90):.1f} ms"
+          + ("" if not args.realtime else
+             f"; kept_up={bool(np.percentile(lat_ms, 90) < 100.0)}"))
+    print(f"wrote {args.output_wav} ({foa.shape[0]} frames x "
+          f"{foa.shape[1]} ch @ {rate} Hz)")
+
+
+if __name__ == "__main__":
+    main()

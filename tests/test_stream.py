@@ -102,3 +102,29 @@ def test_stream_memory_bounded(clip_and_models):
     g = stream.geometry
     assert len(stream._buf) < 8 * g.snd_size
     assert len(stream._frames) == 0
+
+
+def test_serve_cli_matches_deploy(clip_and_models, tmp_path):
+    """sag-serve over a wav equals sag-deploy --batch_size 1 on the same
+    windows (file-fed face of the streaming engine)."""
+    import os
+
+    from spatialaudiogen_tpu.cli.serve import main as serve_main
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+    from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 3.0)
+    in_wav = str(tmp_path / "in.wav")
+    # float32 wav: a PCM16 input would perturb the model input by ~1/65536
+    # and the predictions by ~1e-4, muddying the parity check
+    save_wav(in_wav, mono[:, None], 48000, subtype="float32")
+    out_wav = str(tmp_path / "out.wav")
+    serve_main([models["audio"], in_wav, out_wav])
+    got, rate = load_wav(out_wav, dtype=np.float32)
+    assert rate == 48000 and got.shape[1] == 4
+
+    ref = MonoToAmbix(models["audio"], batch_size=1).deploy(clip, 0.5, 1.3)
+    # the OUTPUT wav round-trip is PCM16-quantized (save_wav default)
+    np.testing.assert_allclose(got[: ref.shape[0]], ref, atol=1.1 / 32768)
+    assert os.path.getsize(out_wav) > 0

@@ -3,6 +3,10 @@
 Parity with reference parse_eval_results.py:9-51: per-video averages with
 the paper's rescalings — MSE as sqrt(mse*4800) (RMS over the 0.1 s window at
 48 kHz), ENV/EMD as sqrt(x^2*4800), STFT raw mean.
+
+Multi-host evals write one `eval-detailed.txt.shard{K}` per process
+(eval/evaluator.py); pass all of them — rows are merged before the
+per-video aggregation, so the printed numbers cover the full sample set.
 """
 
 from __future__ import annotations
@@ -14,16 +18,25 @@ HEADLINE = [("MSE ", "mse/avg"), ("STFT", "stft/avg"),
             ("ENV ", "env_mse/avg"), ("EMD ", "emd/dir")]
 
 
-def parse_eval_detailed_file(fn: str):
-    data = open(fn).read().splitlines()
-    metrics = data[0].split(" | ")[1].split()
+def parse_eval_detailed_file(fn):
+    """Parse one eval-detailed file — or several (shard files), merged."""
+    fns = [fn] if isinstance(fn, str) else list(fn)
+    metrics = None
     sample_time: dict = {}
     sample_vals: dict = {}
-    for line in data[1:]:
-        head, vals = line.split(" | ")
-        yid, t = head.split()
-        sample_time.setdefault(yid, []).append(float(t))
-        sample_vals.setdefault(yid, []).append([float(v) for v in vals.split()])
+    for one in fns:
+        data = open(one).read().splitlines()
+        header = data[0].split(" | ")[1].split()
+        if metrics is None:
+            metrics = header
+        else:
+            assert header == metrics, \
+                f"{one}: metric columns differ from {fns[0]}"
+        for line in data[1:]:
+            head, vals = line.split(" | ")
+            yid, t = head.split()
+            sample_time.setdefault(yid, []).append(float(t))
+            sample_vals.setdefault(yid, []).append([float(v) for v in vals.split()])
     for yid in sample_time:
         order = np.argsort(sample_time[yid])
         sample_time[yid] = np.asarray(sample_time[yid])[order]
@@ -31,7 +44,7 @@ def parse_eval_detailed_file(fn: str):
     return sample_vals, sample_time, metrics
 
 
-def aggregate(fn: str) -> dict:
+def aggregate(fn) -> dict:
     vals, _, keys = parse_eval_detailed_file(fn)
     out = {}
     for label, mt in HEADLINE:
@@ -50,7 +63,9 @@ def main(argv=None):
     import argparse
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("eval_detailed_fn")
+    parser.add_argument("eval_detailed_fn", nargs="+",
+                        help="eval-detailed.txt, or every per-shard file of "
+                             "a multi-host eval (rows are merged).")
     args = parser.parse_args(argv)
     for label, value in aggregate(args.eval_detailed_fn).items():
         print(f"{label} = {value:.3f}")

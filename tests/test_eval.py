@@ -216,3 +216,20 @@ def test_evaluator_compute_dtype_override(trained_model):
                       output_fn=os.path.join(model_dir, "eval-bf16.txt"))
     assert s16["stft/avg"] == pytest.approx(s32["stft/avg"], rel=0.1)
     assert s16["stft/avg"] != s32["stft/avg"]  # genuinely different numerics
+
+
+def test_parse_eval_results_merges_shard_files(tmp_path):
+    """Multi-host shard files aggregate to the same numbers as the single
+    concatenated file (sag-parse-eval accepts several paths)."""
+    header = "SampleID | mse/avg stft/avg env_mse/avg emd/dir\n"
+    rows = [f"vid{v} {t}.5 | {0.1*v+0.01*t} {2.0+v} {0.02*v} {0.03+0.01*t}\n"
+            for v in range(3) for t in range(4)]
+    whole = tmp_path / "all.txt"
+    whole.write_text(header + "".join(rows))
+    s0 = tmp_path / "eval-detailed.txt.shard0"
+    s1 = tmp_path / "eval-detailed.txt.shard1"
+    s0.write_text(header + "".join(rows[:5]))
+    s1.write_text(header + "".join(rows[5:]))
+    merged = aggregate([str(s0), str(s1)])
+    single = aggregate(str(whole))
+    assert merged == single

@@ -44,6 +44,8 @@ class TrainConfig:
     n_workers: int = 8
     log_every: int = 20
     ckpt_every: int = 5000
+    tb_histograms: int = 0        # parameter-histogram TB summaries every N
+                                  # steps (0 = off; dnn.py:692-709 verbosity)
     seed: int = 0
     frame_hw: tuple = (224, 448)
     n_data: int | None = None     # mesh data-parallel size (None = all devices)

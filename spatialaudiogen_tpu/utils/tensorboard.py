@@ -75,8 +75,33 @@ def _bytes_field(field: int, payload: bytes) -> bytes:
     return _tag(field, 2) + _varint(len(payload)) + payload
 
 
+def _packed_doubles(field: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return _bytes_field(field, payload)
+
+
 def _scalar_event(tag: str, value: float, step: int, wall_time: float) -> bytes:
     summary_value = _bytes_field(1, tag.encode()) + _float_field(2, float(value))
+    summary = _bytes_field(1, summary_value)
+    return (_double_field(1, wall_time) + _varint_field(2, int(step))
+            + _bytes_field(5, summary))
+
+
+def _histo_event(tag: str, values, step: int, wall_time: float) -> bytes:
+    """tensorflow.HistogramProto in Summary.Value field 5 (summary.proto):
+    min/max/num/sum/sum_squares + packed bucket_limit/bucket doubles.
+    TensorBoard renders whatever bucketing it is given; numpy's
+    equal-width histogram reads fine for weight distributions."""
+    import numpy as np
+
+    v = np.asarray(values, np.float64).ravel()
+    n_bins = int(min(64, max(1, round(np.sqrt(v.size)))))
+    counts, edges = np.histogram(v, bins=n_bins)
+    histo = (_double_field(1, float(v.min())) + _double_field(2, float(v.max()))
+             + _double_field(3, float(v.size)) + _double_field(4, float(v.sum()))
+             + _double_field(5, float((v * v).sum()))
+             + _packed_doubles(6, edges[1:]) + _packed_doubles(7, counts))
+    summary_value = _bytes_field(1, tag.encode()) + _bytes_field(5, histo)
     summary = _bytes_field(1, summary_value)
     return (_double_field(1, wall_time) + _varint_field(2, int(step))
             + _bytes_field(5, summary))
@@ -109,6 +134,18 @@ class TBEventWriter:
                                          wall_time if wall_time is not None
                                          else time.time()))
 
+    def add_histogram(self, tag: str, values, step: int,
+                      wall_time: float | None = None):
+        """Histogram summary of an array (the reference's verbosity-gated
+        variable histograms, dnn.py:692-709). Empty arrays are skipped."""
+        import numpy as np
+
+        if np.asarray(values).size == 0:
+            return
+        self._write_record(_histo_event(tag, values, step,
+                                        wall_time if wall_time is not None
+                                        else time.time()))
+
     def flush(self):
         self._f.flush()
 
@@ -131,6 +168,78 @@ def read_records(path: str):
             (pcrc,) = struct.unpack("<I", f.read(4))
             assert pcrc == _masked_crc(payload), "payload crc mismatch"
             out.append(payload)
+    return out
+
+
+def _iter_fields(msg: bytes):
+    """(field, wire, value) triples of one protobuf message (test helper)."""
+    pos = 0
+    while pos < len(msg):
+        key = 0
+        shift = 0
+        while True:
+            b = msg[pos]
+            pos += 1
+            key |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val = 0
+            shift = 0
+            while True:
+                b = msg[pos]
+                pos += 1
+                val |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wire == 1:
+            (val,) = struct.unpack("<d", msg[pos: pos + 8])
+            pos += 8
+        elif wire == 5:
+            (val,) = struct.unpack("<f", msg[pos: pos + 4])
+            pos += 4
+        elif wire == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = msg[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            val = msg[pos: pos + ln]
+            pos += ln
+        else:
+            return
+        yield field, wire, val
+
+
+def decode_histograms(path: str):
+    """(tag, min, max, num, n_buckets) tuples from a tfevents file (tests)."""
+    out = []
+    for payload in read_records(path):
+        for field, wire, summary in _iter_fields(payload):
+            if field != 5 or wire != 2:
+                continue
+            for f2, w2, value_msg in _iter_fields(summary):
+                if f2 != 1 or w2 != 2:
+                    continue
+                tag = histo = None
+                for f3, w3, v3 in _iter_fields(value_msg):
+                    if f3 == 1 and w3 == 2:
+                        tag = v3.decode()
+                    elif f3 == 5 and w3 == 2:
+                        histo = v3
+                if tag is None or histo is None:
+                    continue
+                fields = {f: v for f, _, v in _iter_fields(histo)}
+                n_buckets = len(fields.get(7, b"")) // 8
+                out.append((tag, fields.get(1), fields.get(2),
+                            fields.get(3), n_buckets))
     return out
 
 

@@ -48,3 +48,53 @@ def test_metric_logger_emits_tb_events(tmp_path):
     assert scalars["total_loss"] == (pytest.approx(3.25), 5)
     assert scalars["stft/mse"] == (pytest.approx(3.0), 5)
     assert os.path.exists(tmp_path / "metrics.jsonl")
+
+
+def test_histogram_roundtrip(tmp_path):
+    import numpy as np
+
+    from spatialaudiogen_tpu.utils.tensorboard import (TBEventWriter,
+                                                       decode_histograms)
+
+    w = TBEventWriter(str(tmp_path))
+    rng = np.random.RandomState(0)
+    vals = rng.randn(1000).astype(np.float32)
+    w.add_histogram("params/conv1/kernel", vals, step=7)
+    w.add_histogram("empty", np.zeros((0,)), step=7)  # skipped, not written
+    w.close()
+    histos = decode_histograms(w.path)
+    assert len(histos) == 1
+    tag, mn, mx, num, n_buckets = histos[0]
+    assert tag == "params/conv1/kernel"
+    assert num == 1000 and n_buckets > 4
+    np.testing.assert_allclose(mn, vals.min(), rtol=1e-6)
+    np.testing.assert_allclose(mx, vals.max(), rtol=1e-6)
+
+
+def test_trainer_tb_histograms(tmp_path):
+    import numpy as np
+
+    from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+    from spatialaudiogen_tpu.train.trainer import Trainer
+    from spatialaudiogen_tpu.utils.tensorboard import decode_histograms
+
+    root = str(tmp_path / "db")
+    make_synthetic_dataset(root, n_videos=1, duration=3.0, frame_hw=(64, 128),
+                           seed=3)
+    model_dir = str(tmp_path / "model")
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir, encoders=("audio",),
+                      separation="none", n_iters=3, batch_size=2, n_workers=2,
+                      log_every=10, ckpt_every=0, n_data=1, seed=0,
+                      tb_histograms=2)
+    Trainer(cfg).train()
+    import glob
+
+    events = glob.glob(model_dir + "/events.out.tfevents.*")
+    assert events
+    histos = decode_histograms(events[0])
+    tags = {t for t, *_ in histos}
+    assert any(t.startswith("params/") and t.endswith("kernel")
+               for t in tags), tags
+    for _, mn, mx, num, _ in histos:
+        assert np.isfinite([mn, mx]).all() and num >= 1

@@ -52,7 +52,22 @@ def main(argv=None):
     args = parse_arguments(argv)
     eval_fn = os.path.join(args.model_dir, "eval-detailed.txt")
     assert os.path.exists(args.model_dir), "Model dir does not exist."
-    assert args.overwrite or not os.path.exists(eval_fn), "Evaluation file already exists."
+    # the guard covers per-shard files too: multi-host runs write
+    # eval-detailed.txt.shard{K}, and stale shards from a previous run
+    # with a different process count would otherwise be silently merged
+    # by sag-parse-eval. With --overwrite, clean ALL old shard files so a
+    # re-run with fewer processes cannot leave stale ones behind.
+    import glob as _glob
+
+    existing = sorted(_glob.glob(eval_fn + "*"))
+    assert args.overwrite or not existing, \
+        f"Evaluation file(s) already exist: {existing}"
+    if args.overwrite:
+        import jax as _jax
+
+        if _jax.process_index() == 0:
+            for fn in existing:
+                os.remove(fn)
 
     from spatialaudiogen_tpu.eval.evaluator import Evaluator
     from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache

@@ -50,33 +50,41 @@ def main(argv=None) -> None:
     data, in_rate = load_wav(args.input_wav, rate, dtype=np.float32)
     mono = data if data.ndim == 1 else data[:, 0]
 
-    frames = None
+    frame_reader = None
     if "video" in stream.cfg.encoders:
         assert args.frames_dir, "video model: pass --frames_dir"
         from spatialaudiogen_tpu.data.readers import VideoFrameReader
 
-        reader = VideoFrameReader(args.frames_dir,
-                                  rate=VideoFrameReader.RAW_RATE,
-                                  img_prep=lambda x: x)
-        frames = [reader.get_by_index(i / 10.0, 1)[0]
-                  for i in range(int(np.ceil(len(mono) / block)))]
+        # decoded lazily, one frame per pushed block: a long input must not
+        # sit fully decoded in RAM (an hour of 224x448 would be ~11 GB)
+        frame_reader = VideoFrameReader(args.frames_dir,
+                                        rate=VideoFrameReader.RAW_RATE,
+                                        img_prep=lambda x: x)
 
     chunks, lat = [], []
     t_start = time.perf_counter()
     for k in range(0, len(mono), block):
         if args.realtime:
-            target = t_start + k / rate
+            # a live source finishes capturing block k at (k+block)/rate —
+            # pacing at the block's START time would hand the model its
+            # last 0.1 s early and flatter the kept_up verdict
+            target = t_start + min(k + block, len(mono)) / rate
             delay = target - time.perf_counter()
             if delay > 0:
                 time.sleep(delay)
-        frame = frames[k // block] if frames is not None else None
+        frame = None
+        if frame_reader is not None:
+            frame = frame_reader.get_by_index((k // block) / 10.0, 1)[0]
         t0 = time.perf_counter()
         out = stream.push(mono[k: k + block], frame)
         if out:
             lat.append(time.perf_counter() - t0)
             chunks.extend(out)
+    # end of stream: emit the windows still waiting on future context
+    # (zero-padded exactly like batch deploy past clip end)
+    chunks.extend(stream.flush())
 
-    assert chunks, "input shorter than one serving window (need > 1.1 s)"
+    assert chunks, "input shorter than one serving window (need > 0.6 s)"
     foa = np.concatenate(chunks, axis=0)
     save_wav(args.output_wav, foa, rate)
     lat_ms = np.array(lat) * 1e3

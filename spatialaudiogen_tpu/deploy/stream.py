@@ -64,18 +64,33 @@ class StreamingMonoToAmbix:
         self._span_len = g.snd_size + 16
         self._buf = np.zeros((0,), np.float32)   # mono samples
         self._buf_start = 0                      # absolute index of _buf[0]
+        self._pushed = 0                         # samples incl. flush padding
+        self._pushed_real = 0                    # caller-pushed samples only
         self._frames: dict[int, np.ndarray] = {}
         self._frames_pushed = 0
         self._next_window = 0
+        # live sources drop frames: once the audio runs `frame_patience_s`
+        # past a missing frame's due time, the latest available frame is
+        # substituted (the standard repeat-last-frame policy) instead of
+        # stalling the stream forever; `frames_substituted` counts it.
+        self.frame_patience_s = 0.3
+        self.frames_substituted = 0
 
     def _window_ready(self, k: int) -> bool:
         g = self.geometry
         s0 = g.chunk_start_sample(self._chunk_t(k))
-        if self._buf_start + len(self._buf) < s0 + g.snd_size:
+        if self._pushed < s0 + g.snd_size:
             return False
         if self._needs_video:
-            idx = self._frame_indices(k)
-            return all(i in self._frames for i in idx)
+            for i in self._frame_indices(k):
+                if i in self._frames:
+                    continue
+                # frame i is due at audio time i/10 s; substitute once the
+                # audio cadence has run frame_patience_s past it (liveness
+                # over exactness for dropped frames), else wait
+                due = (i / 10.0 + self.frame_patience_s) * self.cfg.audio_rate
+                if self._pushed < due or not self._frames:
+                    return False
         return True
 
     def _frame_indices(self, k: int) -> list:
@@ -101,12 +116,16 @@ class StreamingMonoToAmbix:
         if samples is not None and len(samples) > 0:
             s = np.asarray(samples, np.float32).reshape(-1)
             self._buf = np.concatenate([self._buf, s])
+            self._pushed += len(s)
+            self._pushed_real += len(s)
         if frame is not None:
             assert self._needs_video, "audio-only model given a frame"
             assert frame.dtype == np.uint8, "frames stream as uint8"
             self._frames[self._frames_pushed] = frame
             self._frames_pushed += 1
+        return self._drain()
 
+    def _drain(self) -> list:
         out = []
         while self._window_ready(self._next_window):
             out.append(self._run_window(self._next_window))
@@ -126,13 +145,41 @@ class StreamingMonoToAmbix:
         valid = np.ones((1,), np.float32)
         video_u8 = None
         if self._needs_video:
-            video_u8 = np.stack([self._frames[i] for i in
-                                 self._frame_indices(k)], 0)[None]  # (1,T,H,W,3)
+            frames = []
+            for i in self._frame_indices(k):
+                if i not in self._frames:  # dropped frame: repeat the latest
+                    self.frames_substituted += 1
+                    i = max(self._frames)
+                frames.append(self._frames[i])
+            video_u8 = np.stack(frames, 0)[None]  # (1, T, H, W, 3)
         pred = np.asarray(self.engine.fwd_span(
             self.engine.state, jax.device_put(span), rel, valid, video_u8))
         pred = pred.astype(np.float32).reshape(g.snd_dur, -1)
         mono = span[g.nosep_ss: g.nosep_ss + g.snd_dur]
         return np.concatenate([mono, pred], axis=1)
+
+    def flush(self) -> list:
+        """End of stream: zero-pad the future context so every window whose
+        OUTPUT lies within the pushed audio still emits (the batch engine
+        zero-pads past clip end the same way, audio_window_bounds). Video
+        models repeat the last pushed frame. Returns the remaining chunks.
+        """
+        g = self.geometry
+        end = self._pushed_real  # padding from a previous flush never
+        # extends the output range — flush is idempotent at end of stream
+        last_frame = (self._frames[max(self._frames)]
+                      if self._needs_video and self._frames else None)
+        out = []
+        pad = np.zeros(g.snd_dur, np.float32)
+        while (g.chunk_start_sample(self._chunk_t(self._next_window))
+               + g.nosep_ss) < end:
+            self._buf = np.concatenate([self._buf, pad])
+            self._pushed += len(pad)  # readiness only, not real input
+            if last_frame is not None:
+                self._frames[self._frames_pushed] = last_frame
+                self._frames_pushed += 1
+            out += self._drain()
+        return out
 
     def _gc(self):
         """Drop consumed history: samples/frames earlier than the next
@@ -143,8 +190,12 @@ class StreamingMonoToAmbix:
         if drop > 4 * g.snd_size:  # amortize the copy
             self._buf = self._buf[drop:].copy()
             self._buf_start += drop
-        if self._needs_video:
-            first_needed = self._frame_indices(self._next_window)[0]
+        if self._needs_video and self._frames:
+            # keep the newest frame even when it is older than the next
+            # window's range: it is the substitution source for dropped
+            # frames (a gc that removed it would stall the stream)
+            first_needed = min(self._frame_indices(self._next_window)[0],
+                               max(self._frames))
             for i in [i for i in self._frames if i < first_needed]:
                 del self._frames[i]
 

@@ -179,19 +179,10 @@ class Trainer:
                 t_prev = now
                 if step % cfg.log_every == 0:
                     self.logger.log(step, metrics, cfg.batch_size)
-                if cfg.tb_histograms and step % cfg.tb_histograms == 0 \
-                        and self.logger._tb is not None:
-                    # the reference's verbosity-gated variable histograms
-                    # (dnn.py:692-709): one full-params fetch per write,
-                    # so this is opt-in (--tb_histograms N)
-                    host_params = jax.device_get(state.params)
-                    for path, leaf in jax.tree_util.tree_leaves_with_path(
-                            host_params):
-                        name = "/".join(str(getattr(k, "key", k))
-                                        for k in path)
-                        self.logger._tb.add_histogram(
-                            f"params/{name}", np.asarray(leaf), step)
-                    self.logger._tb.flush()
+                if cfg.tb_histograms and step % cfg.tb_histograms == 0:
+                    # one full-params fetch per write, so opt-in only
+                    self.logger.log_histograms(step,
+                                               jax.device_get(state.params))
                 step += 1
                 if cfg.ckpt_every and step % cfg.ckpt_every == 0:
                     jax.block_until_ready(state.params)

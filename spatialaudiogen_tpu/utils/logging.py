@@ -56,6 +56,20 @@ class MetricLogger:
             print(f"{ts}: {tag} | \t {name} {val:f}")
         sys.stdout.flush()
 
+    def log_histograms(self, step: int, tree, prefix: str = "params"):
+        """Per-leaf TensorBoard histograms of a (host-side) pytree — the
+        reference's verbosity-gated variable histograms (dnn.py:692-709).
+        No-op without a TB writer."""
+        if self._tb is None:
+            return
+        import jax
+        import numpy as np
+
+        for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            self._tb.add_histogram(f"{prefix}/{name}", np.asarray(leaf), step)
+        self._tb.flush()
+
     def close(self):
         self._f.close()
         if self._tb is not None:

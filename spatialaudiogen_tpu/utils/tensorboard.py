@@ -137,12 +137,17 @@ class TBEventWriter:
     def add_histogram(self, tag: str, values, step: int,
                       wall_time: float | None = None):
         """Histogram summary of an array (the reference's verbosity-gated
-        variable histograms, dnn.py:692-709). Empty arrays are skipped."""
+        variable histograms, dnn.py:692-709). Non-finite entries are
+        dropped first — np.histogram raises on NaN/Inf, and a diverging
+        run must abort through the trainer's loss guard, not through its
+        logging path. Arrays with nothing finite are skipped."""
         import numpy as np
 
-        if np.asarray(values).size == 0:
+        v = np.asarray(values)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
             return
-        self._write_record(_histo_event(tag, values, step,
+        self._write_record(_histo_event(tag, v, step,
                                         wall_time if wall_time is not None
                                         else time.time()))
 

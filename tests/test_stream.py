@@ -128,3 +128,36 @@ def test_serve_cli_matches_deploy(clip_and_models, tmp_path):
     # the OUTPUT wav round-trip is PCM16-quantized (save_wav default)
     np.testing.assert_allclose(got[: ref.shape[0]], ref, atol=1.1 / 32768)
     assert os.path.getsize(out_wav) > 0
+
+
+def test_flush_emits_all_output_within_pushed_audio(clip_and_models):
+    """flush() zero-pads the future context so output covers [0.5 s, T)."""
+    from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
+
+    clip, models = clip_and_models
+    stream = StreamingMonoToAmbix(models["audio"])
+    mono = _mono_of(clip, 3.0)
+    chunks = stream.push(mono)
+    chunks += stream.flush()
+    got = np.concatenate(chunks, axis=0)
+    assert got.shape[0] == int((3.0 - 0.5) * 48000)
+    # flushing again emits nothing new
+    assert stream.flush() == []
+
+
+def test_dropped_frames_do_not_stall(clip_and_models):
+    """A live source that stops delivering frames keeps emitting audio
+    (repeat-last-frame substitution after frame_patience_s) instead of
+    stalling forever with an unbounded buffer."""
+    from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
+
+    clip, models = clip_and_models
+    stream = StreamingMonoToAmbix(models["av"])
+    mono = _mono_of(clip, 3.5)
+    frames = _frames_of(clip, 6)  # frames stop arriving at t=0.6
+    emitted = []
+    for i in range(0, len(mono), 4800):
+        frame = frames[i // 4800] if i // 4800 < len(frames) else None
+        emitted += stream.push(mono[i: i + 4800], frame)
+    assert len(emitted) >= 15  # kept emitting well past the frame drop
+    assert stream.frames_substituted > 0

@@ -169,6 +169,10 @@ class StreamingMonoToAmbix:
         # extends the output range — flush is idempotent at end of stream
         last_frame = (self._frames[max(self._frames)]
                       if self._needs_video and self._frames else None)
+        pending = (g.chunk_start_sample(self._chunk_t(self._next_window))
+                   + g.nosep_ss) < end
+        assert not (pending and self._needs_video and last_frame is None), \
+            "flush() of a video model needs at least one pushed frame"
         out = []
         pad = np.zeros(g.snd_dur, np.float32)
         while (g.chunk_start_sample(self._chunk_t(self._next_window))

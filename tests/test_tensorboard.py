@@ -98,3 +98,21 @@ def test_trainer_tb_histograms(tmp_path):
                for t in tags), tags
     for _, mn, mx, num, _ in histos:
         assert np.isfinite([mn, mx]).all() and num >= 1
+
+
+def test_histogram_drops_non_finite(tmp_path):
+    """NaN/Inf params must not crash the logging path (np.histogram raises
+    on non-finite data); finite entries still record, all-bad arrays skip."""
+    import numpy as np
+
+    from spatialaudiogen_tpu.utils.tensorboard import (TBEventWriter,
+                                                       decode_histograms)
+
+    w = TBEventWriter(str(tmp_path))
+    w.add_histogram("mixed", np.array([1.0, np.nan, 2.0, np.inf, 3.0]), 1)
+    w.add_histogram("allbad", np.array([np.nan, np.inf]), 1)
+    w.close()
+    histos = decode_histograms(w.path)
+    assert [h[0] for h in histos] == ["mixed"]
+    _, mn, mx, num, _ = histos[0]
+    assert (mn, mx, num) == (1.0, 3.0, 3.0)

@@ -233,3 +233,26 @@ def test_parse_eval_results_merges_shard_files(tmp_path):
     merged = aggregate([str(s0), str(s1)])
     single = aggregate(str(whole))
     assert merged == single
+
+
+def test_eval_cli_overwrite_guard_covers_shards(tmp_path):
+    """Stale per-shard files block a rerun unless --overwrite (which
+    removes them, so sag-parse-eval can never merge two runs)."""
+    import os
+
+    import pytest as _pytest
+
+    from spatialaudiogen_tpu.cli.eval import main as eval_main
+
+    model_dir = str(tmp_path / "m")
+    os.makedirs(model_dir)
+    stale = os.path.join(model_dir, "eval-detailed.txt.shard3")
+    open(stale, "w").write("SampleID | stale\n")
+    with _pytest.raises(AssertionError, match="shard3"):
+        eval_main([model_dir])
+    # --overwrite removes the stale shard before evaluating; the run then
+    # fails later for an unrelated reason (no checkpoint), which is fine —
+    # the guard behavior is what we pin here.
+    with _pytest.raises(Exception, match="(?i)checkpoint|config|params"):
+        eval_main([model_dir, "--overwrite"])
+    assert not os.path.exists(stale)

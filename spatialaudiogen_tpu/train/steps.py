@@ -76,6 +76,42 @@ def make_train_step(model: SptAudioGen, tx, weight_decay: float = 5e-4):
     return train_step
 
 
+def make_observe_step(model: SptAudioGen, weight_decay: float = 5e-4,
+                      with_ends: bool = False):
+    """Gradient (and optionally tapped-activation) snapshot for TB
+    histograms — the reference's verbosity-gated grad/activation summaries
+    (reference pyutils/tflib/dnn.py:692-709). Runs one extra fwd+bwd on the
+    current batch WITHOUT updating state; only built/dispatched on
+    --tb_histograms steps, so the steady-state step loop pays nothing.
+    """
+    cfg = model.cfg
+
+    def observe_step(state: TrainState, batch: dict):
+        audio_in, video, flow, target, mask = _split_batch(batch, cfg)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, _ = model.apply(variables, audio_in, video, flow,
+                                     train=True, return_ends=with_ends,
+                                     mutable=["batch_stats"])
+            else:
+                out = model.apply(variables, audio_in, video, flow,
+                                  train=True, return_ends=with_ends)
+            pred, ends = out if with_ends else (out, {})
+            total, _ = training_loss(
+                pred, target, mask, cfg.audio_rate, params=params,
+                weight_decay=weight_decay, decay_exclude=model.no_decay_paths(),
+                precision=cfg.dft_precision)
+            return total, ends
+
+        grads, ends = jax.grad(loss_fn, has_aux=True)(state.params)
+        return grads, ends
+
+    return observe_step
+
+
 def make_eval_step(model: SptAudioGen):
     cfg = model.cfg
 
@@ -115,8 +151,15 @@ def jit_sharded(step_fn, state: TrainState, tx, mesh, donate_state: bool = True)
 
     The caller device_puts each batch with parallel.mesh.batch_sharding(mesh);
     the batch argument's sharding then flows through jit unchanged.
+
+    out_shardings pins the NEW state to the same shardings as the input
+    state: without it GSPMD is free to emit some state leaf with a
+    propagated sharding (observed: a replicated Adam moment coming back
+    P('model') on a (4,2) mesh), which fails the in_shardings check on the
+    second step of the loop. step_fn must return (new_state, aux).
     """
     shardings = state_shardings(state, tx, mesh)
     jitted = jax.jit(step_fn, in_shardings=(shardings, None),
+                     out_shardings=(shardings, None),
                      donate_argnums=(0,) if donate_state else ())
     return jitted, shardings

@@ -43,11 +43,16 @@ def parse_arguments(argv=None):
     parser.add_argument("--log_every", type=int, default=20)
     parser.add_argument("--ckpt_every", type=int, default=5000)
     parser.add_argument("--tb_histograms", type=int, default=0,
-                        help="Write per-parameter TensorBoard histograms "
-                             "every N steps (0 = off). The reference's "
-                             "verbosity-gated variable histograms "
-                             "(dnn.py:692-709); costs one full-params fetch "
-                             "per write.")
+                        help="Write per-parameter AND per-gradient "
+                             "TensorBoard histograms every N steps (0 = "
+                             "off). The reference's verbosity-gated "
+                             "variable/gradient histograms (dnn.py:692-709); "
+                             "costs a full params+grads fetch plus one extra "
+                             "fwd+bwd per write.")
+    parser.add_argument("--tb_activations", action="store_true",
+                        help="With --tb_histograms: also histogram the "
+                             "model's tapped activations (the ends dict) on "
+                             "those steps — a large per-write fetch.")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--frame_hw", nargs=2, type=int, default=[224, 448])
     parser.add_argument("--n_data", type=int, default=None,
@@ -93,7 +98,7 @@ def main(argv=None):
         loc_units=tuple(args.loc_units), resume=args.resume,
         n_workers=args.n_workers, log_every=args.log_every,
         ckpt_every=args.ckpt_every, seed=args.seed,
-        tb_histograms=args.tb_histograms,
+        tb_histograms=args.tb_histograms, tb_activations=args.tb_activations,
         frame_hw=tuple(args.frame_hw), n_data=args.n_data, n_model=args.n_model,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         pretrained_resnet=args.pretrained_resnet)

@@ -44,8 +44,11 @@ class TrainConfig:
     n_workers: int = 8
     log_every: int = 20
     ckpt_every: int = 5000
-    tb_histograms: int = 0        # parameter-histogram TB summaries every N
-                                  # steps (0 = off; dnn.py:692-709 verbosity)
+    tb_histograms: int = 0        # parameter+gradient-histogram TB summaries
+                                  # every N steps (0 = off; dnn.py:692-709)
+    tb_activations: bool = False  # also histogram the model's tapped
+                                  # activations (ends dict) on those steps —
+                                  # a large per-write fetch, so double opt-in
     seed: int = 0
     frame_hw: tuple = (224, 448)
     n_data: int | None = None     # mesh data-parallel size (None = all devices)

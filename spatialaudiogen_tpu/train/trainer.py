@@ -20,7 +20,7 @@ from spatialaudiogen_tpu.config import TrainConfig
 from spatialaudiogen_tpu.data.pipeline import Feeder, device_prefetch
 from spatialaudiogen_tpu.models import SptAudioGen
 from spatialaudiogen_tpu.parallel.mesh import batch_sharding, make_mesh
-from spatialaudiogen_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from spatialaudiogen_tpu.train.checkpoint import Checkpointer
 from spatialaudiogen_tpu.train.lr import make_optimizer, staircase_decay
 from spatialaudiogen_tpu.train.state import create_train_state
 from spatialaudiogen_tpu.train.steps import jit_sharded, make_train_step
@@ -61,14 +61,16 @@ class Trainer:
         example = self._example_batch()
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),
                                    example)
+        # One persistent manager for the whole run: saves are async (the
+        # step loop only pays the device->host snapshot) and sharded arrays
+        # are written per-host with no device_get gather.
+        self.ckpt = Checkpointer(cfg.model_dir)
         if cfg.pretrained_resnet:
             # Applies only when no checkpoint will be restored — keyed on
             # actual checkpoint presence, not the --resume flag, so a
             # killed-before-first-checkpoint rerun still gets the
             # pretrained init instead of silent random weights.
-            from spatialaudiogen_tpu.train.checkpoint import latest_step
-
-            if cfg.resume and latest_step(cfg.model_dir) is not None:
+            if cfg.resume and self.ckpt.latest_step() is not None:
                 print("--pretrained_resnet ignored: resuming from a "
                       "checkpoint (pretrained init only applies to fresh "
                       "runs)")
@@ -77,10 +79,20 @@ class Trainer:
         self.step_fn, self.state_shardings = jit_sharded(
             make_train_step(self.model, self.tx, cfg.weight_decay),
             state, self.tx, self.mesh)
+        self.observe_fn = None
+        if cfg.tb_histograms:
+            from spatialaudiogen_tpu.train.steps import make_observe_step
+
+            # grads (+ optionally tapped activations) for TB histograms;
+            # an extra fwd+bwd dispatched only every tb_histograms steps
+            self.observe_fn = jax.jit(
+                make_observe_step(self.model, cfg.weight_decay,
+                                  with_ends=cfg.tb_activations),
+                in_shardings=(self.state_shardings, None))
         state = jax.device_put(state, self.state_shardings)
         self.init_step = 0
         if cfg.resume:
-            state, step = restore_checkpoint(cfg.model_dir, state)
+            state, step = self.ckpt.restore(state)
             if step is not None:
                 self.init_step = int(step)
                 print(f"Restored checkpoint at step {step}")
@@ -183,16 +195,26 @@ class Trainer:
                     # one full-params fetch per write, so opt-in only
                     self.logger.log_histograms(step,
                                                jax.device_get(state.params))
+                    # gradient (and opt-in activation) histograms — the
+                    # reference's verbosity summaries (dnn.py:692-709);
+                    # recomputed on this batch so the hot step stays lean
+                    grads, ends = self.observe_fn(state, dev_batch)
+                    self.logger.log_histograms(step, jax.device_get(grads),
+                                               prefix="grads")
+                    if cfg.tb_activations:
+                        self.logger.log_histograms(
+                            step, jax.device_get(ends), prefix="acts")
                 step += 1
                 if cfg.ckpt_every and step % cfg.ckpt_every == 0:
-                    jax.block_until_ready(state.params)
-                    save_checkpoint(cfg.model_dir, state, step)
-                    print("=" * 60 + "\nCheckpoint saved\n" + "=" * 60)
+                    # async: returns after the device->host snapshot; the
+                    # storage write overlaps the next training steps
+                    self.ckpt.save(step, state)
+                    print("=" * 60 + "\nCheckpoint save started (async)\n" + "=" * 60)
         finally:
             print("End of training. Saving model.")
             cfg.save()
-            jax.block_until_ready(state.params)
-            save_checkpoint(cfg.model_dir, state, step)
+            self.ckpt.save(step, state, wait=True)
+            self.ckpt.close()
             self.state = state
             self.feeder.stop()
             self.logger.close()

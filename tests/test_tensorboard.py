@@ -86,7 +86,7 @@ def test_trainer_tb_histograms(tmp_path):
     cfg = TrainConfig(db_dir=root, model_dir=model_dir, encoders=("audio",),
                       separation="none", n_iters=3, batch_size=2, n_workers=2,
                       log_every=10, ckpt_every=0, n_data=1, seed=0,
-                      tb_histograms=2)
+                      tb_histograms=2, tb_activations=True)
     Trainer(cfg).train()
     import glob
 
@@ -96,6 +96,11 @@ def test_trainer_tb_histograms(tmp_path):
     tags = {t for t, *_ in histos}
     assert any(t.startswith("params/") and t.endswith("kernel")
                for t in tags), tags
+    # gradient histograms mirror the param tree (dnn.py:692-709 parity)
+    assert any(t.startswith("grads/") and t.endswith("kernel")
+               for t in tags), tags
+    # tapped activations from the model's ends dict (--tb_activations)
+    assert any(t.startswith("acts/") for t in tags), tags
     for _, mn, mx, num, _ in histos:
         assert np.isfinite([mn, mx]).all() and num >= 1
 

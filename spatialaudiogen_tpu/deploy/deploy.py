@@ -114,7 +114,8 @@ class MonoToAmbix:
     def __init__(self, model_dir: str, batch_size: int = 32, mesh=None,
                  compute_dtype: str | None = None,
                  yuv_frames: bool | None = None,
-                 f16_fetch: bool = True):
+                 f16_fetch: bool = True,
+                 d2h_chunk_bytes: int = 8 << 20):
         # yuv_frames: ship frames as raw 4:2:0 planes (HALF the RGB888
         # bytes over the H2D link) and convert to RGB on device. None =
         # auto (on when the native raw decoder supports the frame dir);
@@ -131,6 +132,14 @@ class MonoToAmbix:
         # the jitted fwd_span at construction — mutating the attribute
         # afterwards has no effect (jit caches the traced closure).
         self.f16_fetch = f16_fetch
+        # d2h_chunk_bytes: the tunnel's D2H throughput falls off a cliff on
+        # single transfers >11 MB (PERF.md batch A/B: 384-window f16
+        # prediction fetches are ~11.1 MB and ride it). fwd_span therefore
+        # returns the flat prediction split into ceil(bytes/chunk) parts —
+        # separate outputs of the SAME compiled program, so chunking adds
+        # zero device dispatches — and the drain fetches them sequentially
+        # on the one RPC thread, each a sub-cliff transfer.
+        self.d2h_chunk_bytes = int(d2h_chunk_bytes)
         self.cfg = TrainConfig.load(model_dir, compute_dtype=compute_dtype)
         self.cfg.model_dir = model_dir
         self.cfg.sample_dur = DEPLOY_DURATION
@@ -174,6 +183,13 @@ class MonoToAmbix:
         self.fwd = jax.jit(fwd)
 
         snd_size = g.snd_size
+        # static fetch-chunk geometry (model output is (B, snd_dur, n_out))
+        n_out = g.num_ambi_channels - g.num_in_channels
+        out_elems = batch_size * g.snd_dur * n_out
+        out_bytes = out_elems * (2 if f16_fetch else 4)
+        n_parts = max(1, -(-out_bytes // self.d2h_chunk_bytes))
+        part_elems = -(-out_elems // n_parts)
+        self._n_out = n_out
 
         def fwd_span(state, span, rel, valid, video_u8):
             """Forward over windows gathered on-device from one audio span.
@@ -219,8 +235,13 @@ class MonoToAmbix:
             # flatten BEFORE the fetch: repacking the (B, snd_dur, 3)
             # tiled layout on device (HBM-bandwidth, ~us) lets the tunnel
             # stream a linear buffer — measured 101 ms vs 137 ms for the
-            # 3-D f16 fetch at batch 128 (same bytes, same minutes)
-            return out.reshape(-1)
+            # 3-D f16 fetch at batch 128 (same bytes, same minutes).
+            # Split into sub-cliff parts (see d2h_chunk_bytes): a tuple of
+            # outputs of this one program, fetched sequentially by drain.
+            flat = out.reshape(-1)
+            assert flat.size == out_elems, (flat.size, out_elems)
+            return tuple(flat[i * part_elems: min((i + 1) * part_elems, out_elems)]
+                         for i in range(n_parts))
 
         self.fwd_span = jax.jit(fwd_span)
         # per-deploy link accounting (H2D/D2H bytes + stage seconds), read
@@ -407,23 +428,31 @@ class MonoToAmbix:
         # fuses the f16->f32 widening into the single store
         total = n_windows * g.snd_dur
         mono_out = np.empty((total, 1), np.float32)
-        pred_out = None
+        pred_out = np.empty((total, self._n_out), np.float32)
+        pred_flat = pred_out.reshape(-1)  # C-contiguous view
         mono_fill = pred_fill = 0
-        pending = []  # (n, device_out) — fetch lags dispatch by 2 batches
+        pending = []  # (n, device_parts) — fetch lags dispatch by 2 batches
 
         def drain(entry):
-            nonlocal pred_out, pred_fill
-            n, out = entry
+            nonlocal pred_fill
+            n, parts = entry
+            # flat layout is batch-major, so the valid lanes are exactly the
+            # first `need` elements; wholly-pad tail parts skip their RPC
+            need = n * g.snd_dur * self._n_out
+            base = pred_fill * self._n_out
+            got = 0
             t0 = _time.perf_counter()
-            host = np.asarray(out)  # flat (B * snd_dur * n_out,)
-            self.h2d_stats["d2h_bytes"] += out.dtype.itemsize * out.size
+            for part in parts:
+                if got >= need:
+                    break
+                host = np.asarray(part)  # sub-cliff chunk of the flat pred
+                self.h2d_stats["d2h_bytes"] += host.nbytes
+                take = min(host.size, need - got)
+                # f16 -> f32 widening fuses into this single store
+                pred_flat[base + got: base + got + take] = host[:take]
+                got += take
             self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
-            full = host.reshape(self.batch_size, g.snd_dur, -1)
-            if pred_out is None:
-                pred_out = np.empty((total, full.shape[-1]), np.float32)
-            m = n * g.snd_dur
-            pred_out[pred_fill: pred_fill + m] = full[:n].reshape(m, -1)
-            pred_fill += m
+            pred_fill += n * g.snd_dur
 
         for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
                 self._span_batches(reader, input_folder), depth=2):

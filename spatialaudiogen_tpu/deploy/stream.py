@@ -19,6 +19,13 @@ MonoToAmbix(batch_size=1).deploy() over the same samples (same jitted
 fwd_span executable, same window arithmetic; pinned in
 tests/test_stream.py) — including the BatchNorm batch-statistics quirk,
 which batch-1 serving sidesteps entirely (each window sees only itself).
+
+Multi-session serving: one 0.1 s window keeps a chip busy ~3 ms, so a
+single stream uses ~3% of it. StreamBatcher multiplexes up to `capacity`
+sessions into ONE batched forward per tick, with a device-resident rolling
+context buffer per lane: each tick ships only the NEW 0.1 s of audio per
+session (the other 10.9/11 of the window is already in HBM), an 11x H2D
+byte cut over re-uploading windows.
 """
 
 from __future__ import annotations
@@ -26,6 +33,153 @@ from __future__ import annotations
 import numpy as np
 
 from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+
+FRAMES_FPS = 10.0  # the frames/ layout raw rate (preprocess.py:98-143)
+
+
+class _SessionState:
+    """Host-side bookkeeping for one streaming session: sample/frame
+    buffers, window readiness, frame pairing with drop substitution, and
+    bounded-memory gc. No device work — StreamingMonoToAmbix couples one of
+    these to a batch-1 engine; StreamBatcher couples many to one batched
+    engine."""
+
+    def __init__(self, cfg, geometry):
+        self.cfg = cfg
+        self.geometry = geometry
+        rate = cfg.audio_rate
+        g = geometry
+        self._needs_video = "video" in cfg.encoders
+        assert "flow" not in cfg.encoders, \
+            "streaming flow input is not wired up (push precomputed flow " \
+            "frames is a straightforward extension)"
+        # window k emits [t_k, t_k + duration), t_k = context/2 + k*duration
+        self._chunk_t = lambda k: cfg.context / 2.0 + k * g.snd_dur / rate
+        self._buf = np.zeros((0,), np.float32)   # mono samples
+        self._buf_start = 0                      # absolute index of _buf[0]
+        self._pushed = 0                         # samples incl. flush padding
+        self._pushed_real = 0                    # caller-pushed samples only
+        self._frames: dict[int, np.ndarray] = {}
+        self._frames_pushed = 0
+        self.next_window = 0
+        # live sources drop frames: once the audio runs `frame_patience_s`
+        # past a missing frame's due time, the latest available frame is
+        # substituted (the standard repeat-last-frame policy) instead of
+        # stalling the stream forever; `frames_substituted` counts it.
+        self.frame_patience_s = 0.3
+        self.frames_substituted = 0
+
+    # --- input side ---------------------------------------------------
+    def push(self, samples: np.ndarray | None, frame: np.ndarray | None):
+        if samples is not None and len(samples) > 0:
+            s = np.asarray(samples, np.float32).reshape(-1)
+            self._buf = np.concatenate([self._buf, s])
+            self._pushed += len(s)
+            self._pushed_real += len(s)
+        if frame is not None:
+            assert self._needs_video, "audio-only model given a frame"
+            assert frame.dtype == np.uint8, "frames stream as uint8"
+            self._frames[self._frames_pushed] = frame
+            self._frames_pushed += 1
+
+    # --- window readiness ----------------------------------------------
+    def start_sample(self, k: int) -> int:
+        return self.geometry.chunk_start_sample(self._chunk_t(k))
+
+    def window_ready(self, k: int) -> bool:
+        g = self.geometry
+        if self._pushed < self.start_sample(k) + g.snd_size:
+            return False
+        if self._needs_video:
+            for i in self._frame_indices(k):
+                if i in self._frames:
+                    continue
+                # frame i is due at audio time i/10 s; substitute once the
+                # audio cadence has run frame_patience_s past it (liveness
+                # over exactness for dropped frames), else wait
+                due = (i / FRAMES_FPS + self.frame_patience_s) * self.cfg.audio_rate
+                if self._pushed < due or not self._frames:
+                    return False
+        return True
+
+    def next_ready(self) -> bool:
+        return self.window_ready(self.next_window)
+
+    def _frame_indices(self, k: int) -> list:
+        from spatialaudiogen_tpu.data.readers import raw_frame_indices
+
+        g = self.geometry
+        # mirror VideoFrameReader.frame_indices for an unbounded stream:
+        # no clamping against a known frame count (live sources grow)
+        t = self._chunk_t(k)
+        return raw_frame_indices(t, FRAMES_FPS, self.cfg.video_rate, g.vid_dur,
+                                 num_frames=1 << 62)
+
+    # --- window contents -------------------------------------------------
+    def window_samples(self, k: int) -> np.ndarray:
+        """(snd_size,) float32 input window of window k."""
+        g = self.geometry
+        lo = self.start_sample(k) - self._buf_start
+        return self._buf[lo: lo + g.snd_size]
+
+    def window_mono(self, k: int) -> np.ndarray:
+        """(snd_dur, 1) mono W passthrough of window k."""
+        g = self.geometry
+        w = self.window_samples(k)
+        return w[g.nosep_ss: g.nosep_ss + g.snd_dur, None].astype(np.float32)
+
+    def window_frames(self, k: int) -> np.ndarray | None:
+        """(T, H, W, 3) uint8 frames of window k (None for audio-only)."""
+        if not self._needs_video:
+            return None
+        frames = []
+        for i in self._frame_indices(k):
+            if i not in self._frames:  # dropped frame: repeat the latest
+                self.frames_substituted += 1
+                i = max(self._frames)
+            frames.append(self._frames[i])
+        return np.stack(frames, 0)
+
+    def advance(self):
+        self.next_window += 1
+        self._gc()
+
+    # --- end of stream ---------------------------------------------------
+    def flush_pending(self) -> bool:
+        """True while a window whose OUTPUT lies within the real pushed
+        audio has not emitted yet."""
+        g = self.geometry
+        return (self.start_sample(self.next_window) + g.nosep_ss
+                < self._pushed_real)
+
+    def pad_for_flush(self):
+        """Zero-pad the future context (and repeat the last frame) so the
+        next pending window becomes ready; padding never counts as real
+        input, keeping flush idempotent at end of stream."""
+        g = self.geometry
+        self._buf = np.concatenate([self._buf, np.zeros(g.snd_dur, np.float32)])
+        self._pushed += g.snd_dur
+        if self._needs_video and self._frames:
+            self._frames[self._frames_pushed] = self._frames[max(self._frames)]
+            self._frames_pushed += 1
+
+    def _gc(self):
+        """Drop consumed history: samples/frames earlier than the next
+        window's reach (bounded memory for unbounded streams)."""
+        g = self.geometry
+        keep_from = self.start_sample(self.next_window)
+        drop = keep_from - self._buf_start
+        if drop > 4 * g.snd_size:  # amortize the copy
+            self._buf = self._buf[drop:].copy()
+            self._buf_start += drop
+        if self._needs_video and self._frames:
+            # keep the newest frame even when it is older than the next
+            # window's range: it is the substitution source for dropped
+            # frames (a gc that removed it would stall the stream)
+            first_needed = min(self._frame_indices(self.next_window)[0],
+                               max(self._frames))
+            for i in [i for i in self._frames if i < first_needed]:
+                del self._frames[i]
 
 
 class StreamingMonoToAmbix:
@@ -50,58 +204,24 @@ class StreamingMonoToAmbix:
                                   compute_dtype=compute_dtype,
                                   yuv_frames=False, f16_fetch=f16_fetch)
         self.cfg = self.engine.cfg
-        g = self.engine.geometry
-        self.geometry = g
-        rate = self.cfg.audio_rate
-        self._needs_video = "video" in self.cfg.encoders
-        assert "flow" not in self.cfg.encoders, \
-            "streaming flow input is not wired up (push precomputed flow " \
-            "frames is a straightforward extension)"
-        # window k emits [t_k, t_k + duration), t_k = context/2 + k*duration
-        self._chunk_t = lambda k: self.cfg.context / 2.0 + k * g.snd_dur / rate
+        self.geometry = self.engine.geometry
         # must equal deploy's (B-1)*snd_dur + snd_size + 16 at B=1 so the
         # batch engine's compiled fwd_span executable is shared
-        self._span_len = g.snd_size + 16
-        self._buf = np.zeros((0,), np.float32)   # mono samples
-        self._buf_start = 0                      # absolute index of _buf[0]
-        self._pushed = 0                         # samples incl. flush padding
-        self._pushed_real = 0                    # caller-pushed samples only
-        self._frames: dict[int, np.ndarray] = {}
-        self._frames_pushed = 0
-        self._next_window = 0
-        # live sources drop frames: once the audio runs `frame_patience_s`
-        # past a missing frame's due time, the latest available frame is
-        # substituted (the standard repeat-last-frame policy) instead of
-        # stalling the stream forever; `frames_substituted` counts it.
-        self.frame_patience_s = 0.3
-        self.frames_substituted = 0
+        self._span_len = self.geometry.snd_size + 16
+        self._session = _SessionState(self.cfg, self.geometry)
 
-    def _window_ready(self, k: int) -> bool:
-        g = self.geometry
-        s0 = g.chunk_start_sample(self._chunk_t(k))
-        if self._pushed < s0 + g.snd_size:
-            return False
-        if self._needs_video:
-            for i in self._frame_indices(k):
-                if i in self._frames:
-                    continue
-                # frame i is due at audio time i/10 s; substitute once the
-                # audio cadence has run frame_patience_s past it (liveness
-                # over exactness for dropped frames), else wait
-                due = (i / 10.0 + self.frame_patience_s) * self.cfg.audio_rate
-                if self._pushed < due or not self._frames:
-                    return False
-        return True
+    # back-compat introspection used by tests/soaks
+    @property
+    def frames_substituted(self) -> int:
+        return self._session.frames_substituted
 
-    def _frame_indices(self, k: int) -> list:
-        from spatialaudiogen_tpu.data.readers import raw_frame_indices
+    @property
+    def frame_patience_s(self) -> float:
+        return self._session.frame_patience_s
 
-        g = self.geometry
-        # mirror VideoFrameReader.frame_indices for an unbounded stream:
-        # no clamping against a known frame count (live sources grow)
-        t = self._chunk_t(k)
-        return raw_frame_indices(t, 10.0, self.cfg.video_rate, g.vid_dur,
-                                 num_frames=1 << 62)
+    @frame_patience_s.setter
+    def frame_patience_s(self, v: float):
+        self._session.frame_patience_s = v
 
     def push(self, samples: np.ndarray | None = None,
              frame: np.ndarray | None = None) -> list:
@@ -113,50 +233,34 @@ class StreamingMonoToAmbix:
         frame: (H, W, 3) uint8 RGB at the training resolution; push one per
         0.1 s of audio (the 10 fps frames-layout rate), starting at t=0.
         """
-        if samples is not None and len(samples) > 0:
-            s = np.asarray(samples, np.float32).reshape(-1)
-            self._buf = np.concatenate([self._buf, s])
-            self._pushed += len(s)
-            self._pushed_real += len(s)
-        if frame is not None:
-            assert self._needs_video, "audio-only model given a frame"
-            assert frame.dtype == np.uint8, "frames stream as uint8"
-            self._frames[self._frames_pushed] = frame
-            self._frames_pushed += 1
+        self._session.push(samples, frame)
         return self._drain()
 
     def _drain(self) -> list:
         out = []
-        while self._window_ready(self._next_window):
-            out.append(self._run_window(self._next_window))
-            self._next_window += 1
-            self._gc()
+        while self._session.next_ready():
+            out.append(self._run_window(self._session.next_window))
+            self._session.advance()
         return out
 
     def _run_window(self, k: int) -> np.ndarray:
         import jax
 
         g = self.geometry
-        s0 = g.chunk_start_sample(self._chunk_t(k))
-        lo = s0 - self._buf_start
+        s = self._session
         span = np.zeros((self._span_len, 1), np.float32)
-        span[: g.snd_size, 0] = self._buf[lo: lo + g.snd_size]
+        span[: g.snd_size, 0] = s.window_samples(k)
         rel = np.zeros((1,), np.int32)
         valid = np.ones((1,), np.float32)
-        video_u8 = None
-        if self._needs_video:
-            frames = []
-            for i in self._frame_indices(k):
-                if i not in self._frames:  # dropped frame: repeat the latest
-                    self.frames_substituted += 1
-                    i = max(self._frames)
-                frames.append(self._frames[i])
-            video_u8 = np.stack(frames, 0)[None]  # (1, T, H, W, 3)
-        pred = np.asarray(self.engine.fwd_span(
-            self.engine.state, jax.device_put(span), rel, valid, video_u8))
+        frames = s.window_frames(k)
+        video_u8 = None if frames is None else frames[None]  # (1, T, H, W, 3)
+        parts = self.engine.fwd_span(
+            self.engine.state, jax.device_put(span), rel, valid, video_u8)
+        # fwd_span returns sub-cliff fetch parts; at batch 1 (28 KB) that is
+        # a single part, but concatenate keeps this correct for any engine
+        pred = np.concatenate([np.asarray(p) for p in parts])
         pred = pred.astype(np.float32).reshape(g.snd_dur, -1)
-        mono = span[g.nosep_ss: g.nosep_ss + g.snd_dur]
-        return np.concatenate([mono, pred], axis=1)
+        return np.concatenate([s.window_mono(k), pred], axis=1)
 
     def flush(self) -> list:
         """End of stream: zero-pad the future context so every window whose
@@ -164,50 +268,197 @@ class StreamingMonoToAmbix:
         zero-pads past clip end the same way, audio_window_bounds). Video
         models repeat the last pushed frame. Returns the remaining chunks.
         """
-        g = self.geometry
-        end = self._pushed_real  # padding from a previous flush never
-        # extends the output range — flush is idempotent at end of stream
-        last_frame = (self._frames[max(self._frames)]
-                      if self._needs_video and self._frames else None)
-        pending = (g.chunk_start_sample(self._chunk_t(self._next_window))
-                   + g.nosep_ss) < end
-        assert not (pending and self._needs_video and last_frame is None), \
+        s = self._session
+        assert not (s.flush_pending() and s._needs_video and not s._frames), \
             "flush() of a video model needs at least one pushed frame"
         out = []
-        pad = np.zeros(g.snd_dur, np.float32)
-        while (g.chunk_start_sample(self._chunk_t(self._next_window))
-               + g.nosep_ss) < end:
-            self._buf = np.concatenate([self._buf, pad])
-            self._pushed += len(pad)  # readiness only, not real input
-            if last_frame is not None:
-                self._frames[self._frames_pushed] = last_frame
-                self._frames_pushed += 1
+        while s.flush_pending():
+            s.pad_for_flush()
             out += self._drain()
         return out
-
-    def _gc(self):
-        """Drop consumed history: samples/frames earlier than the next
-        window's reach (bounded memory for unbounded streams)."""
-        g = self.geometry
-        keep_from = g.chunk_start_sample(self._chunk_t(self._next_window))
-        drop = keep_from - self._buf_start
-        if drop > 4 * g.snd_size:  # amortize the copy
-            self._buf = self._buf[drop:].copy()
-            self._buf_start += drop
-        if self._needs_video and self._frames:
-            # keep the newest frame even when it is older than the next
-            # window's range: it is the substitution source for dropped
-            # frames (a gc that removed it would stall the stream)
-            first_needed = min(self._frame_indices(self._next_window)[0],
-                               max(self._frames))
-            for i in [i for i in self._frames if i < first_needed]:
-                del self._frames[i]
 
     @property
     def algorithmic_latency_s(self) -> float:
         """Seconds of future input required past an emitted chunk's end."""
         g = self.geometry
-        t0 = self._chunk_t(0)
-        need = g.chunk_start_sample(t0) + g.snd_size
-        end = g.chunk_start_sample(t0) + g.nosep_ss + g.snd_dur
+        s = self._session
+        need = s.start_sample(0) + g.snd_size
+        end = s.start_sample(0) + g.nosep_ss + g.snd_dur
         return (need - end) / self.cfg.audio_rate
+
+
+class StreamBatcher:
+    """Multiplex up to `capacity` streaming sessions into ONE batched
+    forward per tick — the serving-side completion of the reference's
+    deploy batching idea (deploy.py:112-148), applied across sessions
+    instead of across one clip's windows.
+
+    Design (TPU-first): each session owns a lane of a device-resident
+    (capacity, snd_size) rolling context buffer. Consecutive windows of a
+    session overlap by 10/11, so a tick ships only the NEW snd_dur samples
+    per emitting lane and the buffer rolls on device inside the same jitted
+    program as the forward — one H2D (chunks), one dispatch, one sub-cliff
+    D2H per round, whatever the session count. Sessions join/leave between
+    ticks; joining uploads the lane's first full window once.
+
+    Parity: for audio-only models every lane is mathematically independent
+    (the audio path's BatchNorm uses running averages at eval), and
+    tests/test_stream.py pins bit-equality against N independent
+    StreamingMonoToAmbix sessions. For video models the reference's
+    batch-statistics BatchNorm quirk couples lanes exactly like the batch
+    deploy engine couples windows — batched serving then matches
+    MonoToAmbix's batch semantics, NOT N isolated batch-1 streams.
+    """
+
+    def __init__(self, model_dir: str, capacity: int = 16,
+                 compute_dtype: str | None = None, f16_fetch: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        self.engine = MonoToAmbix(model_dir, batch_size=capacity,
+                                  compute_dtype=compute_dtype,
+                                  yuv_frames=False, f16_fetch=f16_fetch)
+        self.cfg = self.engine.cfg
+        self.geometry = self.engine.geometry
+        self.capacity = capacity
+        g = self.geometry
+        self._needs_video = "video" in self.cfg.encoders
+        self._sessions: dict[int, _SessionState] = {}
+        self._lane_of: dict[int, int] = {}
+        self._warm: dict[int, bool] = {}   # lane buffer holds a valid window
+        self._consumed: dict[int, int] = {}  # absolute sample index shipped
+        self._next_sid = 0
+        self._free_lanes = list(range(capacity))
+        self._buf = jnp.zeros((capacity, g.snd_size), jnp.float32)
+
+        snd_dur, snd_size = g.snd_dur, g.snd_size
+        fwd = self.engine.fwd
+
+        def set_lane(buf, lane, window):
+            return jax.lax.dynamic_update_slice(buf, window[None], (lane, 0))
+
+        self._set_lane = jax.jit(set_lane, donate_argnums=(0,))
+
+        def tick_fn(state, buf, chunk, do_shift, valid, video_u8):
+            """Roll emitting lanes by snd_dur and run the batched forward.
+
+            buf (C, snd_size) f32 rolling contexts; chunk (C, snd_dur) f32
+            new samples (zeros for non-shifting lanes); do_shift/valid (C,)
+            f32 masks. Pad/non-emitting lanes are zeroed into the forward —
+            the same convention as the batch deploy's padded tail lanes.
+            """
+            shifted = jnp.concatenate([buf[:, snd_dur:], chunk], axis=1)
+            new_buf = jnp.where(do_shift[:, None] > 0, shifted, buf)
+            audio = (new_buf * valid[:, None])[..., None]  # (C, snd_size, 1)
+            video = None
+            if video_u8 is not None:
+                video = video_u8.astype(jnp.float32) / 255.0 - 0.5
+                video = video * valid[:, None, None, None, None]
+            out = fwd(state, audio, video, None)
+            if f16_fetch:
+                out = out.astype(jnp.float16)
+            return new_buf, out
+
+        self._tick_fn = jax.jit(tick_fn, donate_argnums=(1,))
+
+    # --- session management -------------------------------------------
+    def add_session(self) -> int:
+        assert self._free_lanes, f"at capacity ({self.capacity} sessions)"
+        sid = self._next_sid
+        self._next_sid += 1
+        lane = self._free_lanes.pop(0)
+        self._sessions[sid] = _SessionState(self.cfg, self.geometry)
+        self._lane_of[sid] = lane
+        self._warm[sid] = False
+        self._consumed[sid] = 0
+        return sid
+
+    def remove_session(self, sid: int):
+        lane = self._lane_of.pop(sid)
+        del self._sessions[sid], self._warm[sid], self._consumed[sid]
+        self._free_lanes.append(lane)
+        # zero the stale lane so video-model batch statistics see the same
+        # zeros an empty deploy pad lane would contribute
+        self._buf = self._set_lane(
+            self._buf, lane, np.zeros(self.geometry.snd_size, np.float32))
+
+    @property
+    def n_sessions(self) -> int:
+        return len(self._sessions)
+
+    def push(self, sid: int, samples: np.ndarray | None = None,
+             frame: np.ndarray | None = None):
+        """Buffer input for session `sid`; compute happens at tick()."""
+        self._sessions[sid].push(samples, frame)
+
+    # --- the batched tick ------------------------------------------------
+    def tick(self, max_rounds: int | None = None) -> dict:
+        """Run batched forwards until no session has a ready window (or
+        max_rounds). Returns {sid: [(snd_dur, 1+n_out) chunks...]} for
+        sessions that emitted."""
+        g = self.geometry
+        out: dict[int, list] = {}
+        rounds = 0
+        while max_rounds is None or rounds < max_rounds:
+            emitting = [(sid, s) for sid, s in self._sessions.items()
+                        if s.next_ready()]
+            if not emitting:
+                break
+            rounds += 1
+            chunk = np.zeros((self.capacity, g.snd_dur), np.float32)
+            do_shift = np.zeros((self.capacity,), np.float32)
+            valid = np.zeros((self.capacity,), np.float32)
+            video_u8 = None
+            if self._needs_video:
+                hw = tuple(self.cfg.frame_hw)
+                video_u8 = np.zeros(
+                    (self.capacity, g.vid_dur) + hw + (3,), np.uint8)
+            metas = []
+            for sid, s in emitting:
+                lane = self._lane_of[sid]
+                k = s.next_window
+                s0 = s.start_sample(k)
+                if not self._warm[sid]:
+                    # one-time full-window upload for a fresh lane
+                    self._buf = self._set_lane(
+                        self._buf, lane, np.ascontiguousarray(
+                            s.window_samples(k), dtype=np.float32))
+                    self._warm[sid] = True
+                else:
+                    # rolling update: ship only the new snd_dur samples
+                    # [consumed, consumed + snd_dur) — windows advance by
+                    # exactly snd_dur (chunk_start_sample rounds k*0.1 s to
+                    # the sample grid; exact for any realistic stream length)
+                    assert s0 + g.snd_size == self._consumed[sid] + g.snd_dur, \
+                        "window cadence drifted off snd_dur"
+                    lo = self._consumed[sid] - s._buf_start
+                    chunk[lane] = s._buf[lo: lo + g.snd_dur]
+                    do_shift[lane] = 1.0
+                valid[lane] = 1.0
+                self._consumed[sid] = s0 + g.snd_size
+                if video_u8 is not None:
+                    video_u8[lane] = s.window_frames(k)
+                metas.append((sid, lane, s.window_mono(k)))
+                s.advance()
+            self._buf, dev_out = self._tick_fn(
+                self.engine.state, self._buf, chunk, do_shift, valid,
+                video_u8)
+            host = np.asarray(dev_out).astype(np.float32)
+            for sid, lane, mono in metas:
+                chunkout = np.concatenate([mono, host[lane]], axis=1)
+                out.setdefault(sid, []).append(chunkout)
+        return out
+
+    def flush(self, sid: int) -> dict:
+        """End-of-stream for one session: pad its future context until all
+        its real-audio windows emitted (other sessions may ride along in
+        the same rounds). Returns the same {sid: chunks} dict as tick()."""
+        s = self._sessions[sid]
+        assert not (s.flush_pending() and s._needs_video and not s._frames), \
+            "flush() of a video model needs at least one pushed frame"
+        merged: dict[int, list] = {}
+        while s.flush_pending():
+            s.pad_for_flush()
+            for k, v in self.tick().items():
+                merged.setdefault(k, []).extend(v)
+        return merged

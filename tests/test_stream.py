@@ -100,8 +100,8 @@ def test_stream_memory_bounded(clip_and_models):
         for i in range(0, len(mono), 48000):
             stream.push(mono[i: i + 48000])
     g = stream.geometry
-    assert len(stream._buf) < 8 * g.snd_size
-    assert len(stream._frames) == 0
+    assert len(stream._session._buf) < 8 * g.snd_size
+    assert len(stream._session._frames) == 0
 
 
 def test_serve_cli_matches_deploy(clip_and_models, tmp_path):
@@ -143,6 +143,199 @@ def test_flush_emits_all_output_within_pushed_audio(clip_and_models):
     assert got.shape[0] == int((3.0 - 0.5) * 48000)
     # flushing again emits nothing new
     assert stream.flush() == []
+
+
+def test_stream_batcher_lane_isolation_is_bitwise(clip_and_models):
+    """No cross-session leakage, proven bitwise: a session's output through
+    the batcher is bit-identical whether it runs ALONE or packed with other
+    live sessions (same compiled executable, same lane shapes — the only
+    difference is the neighbors' data, which must not matter for audio-only
+    models)."""
+    from spatialaudiogen_tpu.deploy.stream import StreamBatcher
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 3.0)
+
+    def run_alone():
+        b = StreamBatcher(models["audio"], capacity=4)
+        sid = b.add_session()
+        out = []
+        for i in range(0, len(mono), 9600):
+            b.push(sid, mono[i: i + 9600])
+            for _, chunks in b.tick().items():
+                out.extend(chunks)
+        return out
+
+    def run_packed():
+        b = StreamBatcher(models["audio"], capacity=4)
+        sid = b.add_session()
+        others = [b.add_session() for _ in range(3)]
+        rng = np.random.RandomState(7)
+        out = []
+        for i in range(0, len(mono), 9600):
+            b.push(sid, mono[i: i + 9600])
+            for o in others:  # neighbors stream unrelated noise
+                b.push(o, rng.randn(9600).astype(np.float32) * 0.2)
+            for got_sid, chunks in b.tick().items():
+                if got_sid == sid:
+                    out.extend(chunks)
+        return out
+
+    alone, packed = run_alone(), run_packed()
+    assert len(alone) == len(packed) > 10
+    np.testing.assert_array_equal(
+        np.concatenate(alone), np.concatenate(packed))
+
+
+def test_stream_batcher_matches_independent_streams(clip_and_models):
+    """N multiplexed sessions == N independent batch-1 streams (audio-only:
+    the audio path's BatchNorm uses running averages at eval, so lanes are
+    mathematically independent). Batch-C and batch-1 are different XLA
+    executables whose per-lane reductions reorder, so cross-shape equality
+    is to float tolerance (observed: 99.95% of elements bitwise, max diff
+    one f16 transport ulp ~2e-6); the bitwise no-leakage guarantee is
+    test_stream_batcher_lane_isolation_is_bitwise. Sessions start at
+    staggered offsets and push odd-sized blocks; one joins mid-run, one
+    leaves."""
+    from spatialaudiogen_tpu.deploy.stream import (StreamBatcher,
+                                                   StreamingMonoToAmbix)
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 4.0)
+    offsets = [0, 7000, 48000, 3]  # distinct per-session signals
+    signals = [np.roll(mono, -off)[: len(mono) - 48000] for off in offsets]
+
+    # ground truth: independent batch-1 streams
+    ref = {}
+    for i, sig in enumerate(signals):
+        s = StreamingMonoToAmbix(models["audio"])
+        ref[i] = s.push(sig) + s.flush()
+
+    batcher = StreamBatcher(models["audio"], capacity=4)
+    sids = [batcher.add_session() for _ in range(3)]  # session 3 joins later
+    got = {i: [] for i in range(4)}
+    rng = np.random.RandomState(1)
+    pos = 0
+    joined3 = False
+    while pos < len(signals[0]):
+        n = int(rng.randint(3000, 20000))
+        for i, sid in enumerate(sids):
+            batcher.push(sid, signals[i][pos: pos + n])
+        pos += n
+        if not joined3 and pos > 60000:
+            sids.append(batcher.add_session())  # join mid-run
+            batcher.push(sids[3], signals[3][:pos])
+            joined3 = True
+        for sid, chunks in batcher.tick().items():
+            got[sids.index(sid)].extend(chunks)
+    for i, sid in enumerate(sids):
+        for k, v in batcher.flush(sid).items():
+            got[sids.index(k)].extend(v)
+    for i in range(4):
+        assert len(got[i]) == len(ref[i]), (i, len(got[i]), len(ref[i]))
+        a, b = np.concatenate(got[i]), np.concatenate(ref[i])
+        # mono passthrough is host-side: bitwise either way
+        np.testing.assert_array_equal(a[:, 0], b[:, 0], err_msg=f"s{i} mono")
+        np.testing.assert_allclose(a, b, atol=2.5e-6, err_msg=f"s{i}")
+        assert (a == b).mean() > 0.995, f"s{i}: too few bitwise-equal"
+
+    # leave: the lane frees and a new session can reuse it
+    n0 = batcher.n_sessions
+    batcher.remove_session(sids[0])
+    assert batcher.n_sessions == n0 - 1
+    sid_new = batcher.add_session()
+    batcher.push(sid_new, signals[0][:100000])
+    out = batcher.tick()
+    assert len(out.get(sid_new, [])) >= 9
+    np.testing.assert_allclose(
+        np.concatenate(out[sid_new]),
+        np.concatenate(ref[0][: len(out[sid_new])]), atol=2.5e-6)
+
+
+def test_stream_batcher_video_matches_batch_semantics(clip_and_models):
+    """Video models couple lanes through the reference's batch-statistics
+    BatchNorm quirk — a single-session batcher at capacity 1 must still
+    equal the batch-1 stream bitwise (same lane composition)."""
+    from spatialaudiogen_tpu.deploy.stream import (StreamBatcher,
+                                                   StreamingMonoToAmbix)
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 2.5)
+    frames = _frames_of(clip, int(np.ceil(len(mono) / 4800)))
+
+    s = StreamingMonoToAmbix(models["av"])
+    ref = []
+    for i in range(0, len(mono), 4800):
+        frame = frames[i // 4800] if i // 4800 < len(frames) else None
+        ref += s.push(mono[i: i + 4800], frame)
+
+    b = StreamBatcher(models["av"], capacity=1)
+    sid = b.add_session()
+    got = []
+    for i in range(0, len(mono), 4800):
+        frame = frames[i // 4800] if i // 4800 < len(frames) else None
+        b.push(sid, mono[i: i + 4800], frame)
+        for _, chunks in b.tick().items():
+            got.extend(chunks)
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(np.concatenate(got), np.concatenate(ref))
+
+
+def test_congestion_stall_catch_up_semantics(clip_and_models):
+    """Defined congestion policy, pinned: a stalled device delays but never
+    drops. While the device is stalled, pushed samples accumulate in the
+    session buffer (memory grows with the backlog, nothing else); once the
+    stall clears, the next drain computes EVERY backlogged window in order,
+    bit-equal to an unstalled run, and gc returns the buffer to its bounded
+    steady state."""
+    import time as _time
+
+    from spatialaudiogen_tpu.deploy.stream import (StreamBatcher,
+                                                   StreamingMonoToAmbix)
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 4.0)
+
+    # unstalled reference
+    s_ref = StreamingMonoToAmbix(models["audio"])
+    ref = s_ref.push(mono)
+
+    # StreamingMonoToAmbix: stall the device fn for the first 2 windows
+    stream = StreamingMonoToAmbix(models["audio"])
+    real_fwd = stream.engine.fwd_span
+    calls = {"n": 0}
+
+    def stalled_fwd(*a, **k):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            _time.sleep(0.2)  # simulated congestion
+        return real_fwd(*a, **k)
+
+    stream.engine.fwd_span = stalled_fwd
+    got = []
+    for i in range(0, len(mono), 4800):
+        got += stream.push(mono[i: i + 4800])
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(np.concatenate(got), np.concatenate(ref))
+
+    # StreamBatcher: pushes during a stalled tick() accumulate; one tick
+    # after the stall drains the whole backlog, then gc re-bounds the buffer
+    b = StreamBatcher(models["audio"], capacity=2)
+    sid = b.add_session()
+    sess = b._sessions[sid]
+    g = b.geometry
+    for i in range(0, len(mono), 4800):   # device "stalled": no tick() calls
+        b.push(sid, mono[i: i + 4800])
+    assert len(sess._buf) >= len(mono) - 4800  # backlog held, nothing lost
+    out = b.tick()                        # stall clears: full catch-up
+    n_expect = len(ref)
+    assert len(out[sid]) == n_expect, (len(out[sid]), n_expect)
+    # tolerance: capacity-2 vs batch-1 are different XLA executables (see
+    # test_stream_batcher_matches_independent_streams)
+    np.testing.assert_allclose(
+        np.concatenate(out[sid]), np.concatenate(ref), atol=2.5e-6)
+    assert len(sess._buf) < 8 * g.snd_size  # gc'd back to steady state
+    assert b.tick() == {}                 # nothing pending after catch-up
 
 
 def test_dropped_frames_do_not_stall(clip_and_models):

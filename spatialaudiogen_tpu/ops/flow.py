@@ -192,7 +192,7 @@ def _jitted_flow(alpha: float, n_warps: int, n_iters: int):
                                      n_iters=n_iters))
 
 
-def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.02,
+def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
                       n_warps: int = 3, n_iters: int = 60,
                       pair_batch: int = 16) -> np.ndarray:
     """(T, H, W, 3) uint8/float frames -> (T, H, W, 2) flow (last repeats).
@@ -200,6 +200,13 @@ def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.02,
     Drop-in twin of etl.flow.farneback_flow with the compute on the JAX
     device. Pairs are solved in fixed-size batches of `pair_batch`
     (zero-padded tail) so one executable serves any clip length.
+
+    alpha=0.05 measured best across the quality fixtures (same solver
+    cost): natural-texture zoom+pan EPE 0.21 px vs 0.39 at the old 0.02
+    (photometric 0.0033 vs 0.0063), subpixel translations 0.08 px, blob
+    occlusion 2.75/3 px; alpha<=0.01 destabilizes the Jacobi relaxation
+    (EPE > 4 px) and alpha=0.1 over-smooths translations
+    (tests/test_flow_quality.py, PERF.md).
     """
     import jax.numpy as jnp
 

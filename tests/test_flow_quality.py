@@ -1,0 +1,155 @@
+"""TPU Horn-Schunck flow QUALITY, quantified, and the training path that
+consumes it.
+
+Round-3 state: ops/flow.py was pinned on synthetic translations only, so a
+quality fork in the flow modality would have been silent. These tests
+(a) measure endpoint error and warp-photometric error of `--method tpu`
+against Farneback on natural-statistics frames under a known ground-truth
+warp, and (b) run the full modality path end to end: frames -> sag-flow
+--method tpu -> Feeder -> an audio+flow model TRAINS (loss descends) and
+evals. Reference analogue: scraping/flow.py + preprocess.py:156-204 produce
+the artifacts feeder.py:135-161 consumes.
+
+Measured on these fixtures (also recorded in PERF.md), alpha=0.05 default:
+  zoom+pan warps, 96x128 1/f texture: EPE tpu 0.21 px vs farneback 0.021 px
+  (Farneback's polynomial model is exact for affine motion — this fixture
+  flatters it); photometric |I0 - warp(I1)|: tpu 0.0033 BEATS farneback
+  0.0096, both far under the no-flow 0.099 (texture in [0, 1]).
+"""
+
+import numpy as np
+import pytest
+
+
+def _natural_texture(h, w, seed=0):
+    """1/f-ish texture: multi-scale smoothed noise, normalized to [0, 1].
+    Natural-image statistics (power at all scales), unlike a single blob."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(seed)
+    img = np.zeros((h, w))
+    for sigma, amp in ((1.0, 0.25), (3.0, 0.5), (9.0, 1.0)):
+        img += amp * gaussian_filter(rng.randn(h, w), sigma)
+    img -= img.min()
+    return (img / img.max()).astype(np.float32)
+
+
+def _warp_pair(h=96, w=128, scale=1.02, tx=1.5, ty=-0.8, seed=0):
+    """(I0, I1, gt_flow): I1 is I0 under a zoom+pan; gt_flow satisfies the
+    estimators' convention I0(p) ~= I1(p + flow(p))."""
+    from scipy.ndimage import map_coordinates
+
+    i0 = _natural_texture(h, w, seed)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    # I1(q) = I0(A(q)) with A(q) = c + scale*(q - c) + t  (inverse mapping)
+    src_y = cy + scale * (ys - cy) + ty
+    src_x = cx + scale * (xs - cx) + tx
+    i1 = map_coordinates(i0, [src_y, src_x], order=3, mode="nearest"
+                         ).astype(np.float32)
+    # flow(p) = A^{-1}(p) - p
+    gt_u = (xs - tx - cx) / scale + cx - xs
+    gt_v = (ys - ty - cy) / scale + cy - ys
+    return i0, i1, np.stack([gt_u, gt_v], axis=-1).astype(np.float32)
+
+
+def _epe(flow, gt, margin=12):
+    d = flow[margin:-margin, margin:-margin] - gt[margin:-margin, margin:-margin]
+    return float(np.sqrt((d ** 2).sum(-1)).mean())
+
+
+def _photometric(i0, i1, flow, margin=12):
+    """mean |I0(p) - I1(p + flow(p))| over the interior."""
+    from scipy.ndimage import map_coordinates
+
+    h, w = i0.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    warped = map_coordinates(i1.astype(np.float64),
+                             [ys + flow[..., 1], xs + flow[..., 0]],
+                             order=1, mode="nearest")
+    err = np.abs(i0.astype(np.float64) - warped)
+    return float(err[margin:-margin, margin:-margin].mean())
+
+
+def _rgb(img):
+    return np.repeat((img * 255).astype(np.uint8)[..., None], 3, axis=-1)
+
+
+def test_tpu_flow_epe_and_photometric_vs_farneback():
+    """EPE and photometric error of the TPU Horn-Schunck path, quantified
+    against Farneback AND ground truth on natural-statistics frames."""
+    from spatialaudiogen_tpu.etl.flow import farneback_flow
+    from spatialaudiogen_tpu.ops.flow import horn_schunck_flow
+
+    epes, photos = {"tpu": [], "farneback": []}, {"tpu": [], "farneback": []}
+    photo_zero = []
+    for seed, (scale, tx, ty) in enumerate(
+            [(1.02, 1.5, -0.8), (0.985, -2.0, 1.2), (1.0, 2.5, 2.0)]):
+        i0, i1, gt = _warp_pair(scale=scale, tx=tx, ty=ty, seed=seed)
+        frames = np.stack([_rgb(i0), _rgb(i1)])  # (2, H, W, 3) uint8
+        hs = np.asarray(horn_schunck_flow(frames))[0]
+        fb = farneback_flow(frames)[0]
+        epes["tpu"].append(_epe(hs, gt))
+        epes["farneback"].append(_epe(fb, gt))
+        photos["tpu"].append(_photometric(i0, i1, hs))
+        photos["farneback"].append(_photometric(i0, i1, fb))
+        photo_zero.append(_photometric(i0, i1, np.zeros_like(gt)))
+
+    tpu_epe = float(np.mean(epes["tpu"]))
+    fb_epe = float(np.mean(epes["farneback"]))
+    tpu_ph = float(np.mean(photos["tpu"]))
+    fb_ph = float(np.mean(photos["farneback"]))
+    zero_ph = float(np.mean(photo_zero))
+    print(f"\nflow quality (3 zoom+pan warps, 96x128 natural texture): "
+          f"EPE tpu={tpu_epe:.3f}px farneback={fb_epe:.3f}px | "
+          f"photometric tpu={tpu_ph:.4f} farneback={fb_ph:.4f} "
+          f"no-flow={zero_ph:.4f}")
+    # Measured (alpha=0.05 default): EPE tpu 0.21 px vs farneback 0.021 px —
+    # Farneback's quadratic-polynomial model is EXACT for affine warps, so
+    # this fixture flatters it; HS's smoothness prior costs ~0.2 px here.
+    # Photometrically the ranking flips: tpu 0.0033 vs farneback 0.0096
+    # (30x / 10x better than no-flow 0.099) — the HS field explains the
+    # brightness motion BETTER. Pin both characteristics:
+    assert tpu_epe < 0.35, (tpu_epe, epes)          # sub-half-pixel EPE
+    assert fb_epe < 0.1, (fb_epe,)                  # fixture sanity
+    assert tpu_ph < 0.1 * zero_ph, (tpu_ph, zero_ph)
+    assert tpu_ph < 1.2 * fb_ph, (tpu_ph, fb_ph)    # no photometric fork
+
+
+def test_audio_flow_model_trains_on_tpu_flow_artifacts(tmp_path):
+    """sag-flow --method tpu artifacts feed an audio+flow model end to end:
+    loss descends over 10 steps and the evaluator scores a batch."""
+    import json
+    import os
+
+    from spatialaudiogen_tpu.cli.flow import main as flow_main
+    from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.data.synthetic import make_synthetic_dataset
+    from spatialaudiogen_tpu.eval.evaluator import Evaluator
+    from spatialaudiogen_tpu.train.trainer import Trainer
+
+    root = str(tmp_path / "db")
+    ids = make_synthetic_dataset(root, n_videos=1, duration=3.0,
+                                 frame_hw=(64, 128), seed=5)
+    db = str(tmp_path / "db.lst")
+    with open(db, "w") as f:
+        f.write("\n".join(ids) + "\n")
+    flow_main([db, "--frames_dir", root, "--method", "tpu"])
+    assert os.path.exists(os.path.join(root, ids[0], "flow", "flow_limits.npy"))
+
+    model_dir = str(tmp_path / "model")
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir,
+                      encoders=("audio", "flow"), separation="none",
+                      n_iters=10, batch_size=2, n_workers=2,
+                      frame_hw=(64, 128), log_every=1, ckpt_every=0,
+                      n_data=1, seed=0)
+    Trainer(cfg).train()
+    losses = [json.loads(line)["total_loss"]
+              for line in open(os.path.join(model_dir, "metrics.jsonl"))
+              if "total_loss" in line]
+    assert len(losses) >= 8
+    assert losses[-1] < losses[0], losses
+
+    ev = Evaluator(model_dir, batch_size=2, n_workers=2)
+    summary, results = ev.run(host_threads=2, max_batches=1, print_every=0)
+    assert results and np.isfinite(summary["stft/avg"]), summary

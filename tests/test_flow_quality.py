@@ -148,7 +148,10 @@ def test_audio_flow_model_trains_on_tpu_flow_artifacts(tmp_path):
               for line in open(os.path.join(model_dir, "metrics.jsonl"))
               if "total_loss" in line]
     assert len(losses) >= 8
-    assert losses[-1] < losses[0], losses
+    # feeder worker scheduling reorders batches run to run, so single-step
+    # comparisons are noisy; the descent signal is mean(last 3) vs first
+    assert np.mean(losses[-3:]) < losses[0], losses
+    assert np.isfinite(losses).all(), losses
 
     ev = Evaluator(model_dir, batch_size=2, n_workers=2)
     summary, results = ev.run(host_threads=2, max_batches=1, print_every=0)

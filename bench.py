@@ -237,10 +237,12 @@ def measure_d2h_link(sizes=(1 << 20, 16 << 20), iters: int = 3):
 TRAIN_BATCH = 128  # best measured train batch (PERF.md scaling table)
 
 
-def train_bench(bf16: bool, batch: int = TRAIN_BATCH, iters: int = 20) -> float:
-    """Verified-sync train-step throughput (samples/s) for the flagship
-    model. Reuses tools/profile_tpu.build_train so the compiled executable
-    is shared with the profiling tool's cache entries."""
+def train_bench(bf16: bool, batch: int = TRAIN_BATCH, iters: int = 20):
+    """Verified-sync train-step throughput for the flagship model. Reuses
+    tools/profile_tpu.build_train so the compiled executable is shared with
+    the profiling tool's cache entries. Returns (samples/s, TFLOP/s) — the
+    FLOP count is the jitted step's own XLA cost analysis (fwd+bwd+Adam), so
+    the driver can see training efficiency, not just the forward's."""
     import sys
 
     import jax
@@ -249,14 +251,20 @@ def train_bench(bf16: bool, batch: int = TRAIN_BATCH, iters: int = 20) -> float:
     from profile_tpu import build_train
 
     fn, args = build_train(batch, bf16)
-    out = fn(*args)
+    # one compile serves cost analysis AND the timing loop
+    compiled = fn.lower(*args).compile()
+    try:
+        flops_per_iter = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops_per_iter = float("nan")
+    out = compiled(*args)
     _ = float(np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
+        out = compiled(*args)
     _ = float(np.asarray(jax.tree_util.tree_leaves(out)[-1]).ravel()[0])
     dt = (time.perf_counter() - t0) / iters
-    return batch / dt
+    return batch / dt, flops_per_iter / dt / 1e12
 
 
 def main():
@@ -308,10 +316,12 @@ def main():
             t += link_lat + d2h_lat
         return audio_per_batch / max(t, 1e-9)
 
-    train_f32 = train_bf16 = None
+    train_f32 = train_bf16 = train_tflops_f32 = train_tflops_bf16 = None
     try:
-        train_f32 = round(train_bench(bf16=False), 1)
-        train_bf16 = round(train_bench(bf16=True), 1)
+        sps, tf = train_bench(bf16=False)
+        train_f32, train_tflops_f32 = round(sps, 1), round(tf, 2)
+        sps, tf = train_bench(bf16=True)
+        train_bf16, train_tflops_bf16 = round(sps, 1), round(tf, 2)
     except Exception:
         pass  # the headline metric must print even if the train section dies
 
@@ -380,6 +390,10 @@ def main():
         "mfu_bf16_peak": round(tflops * 1e12 / V5E_BF16_PEAK, 4),
         "train_samples_per_sec_f32": train_f32,
         "train_samples_per_sec_bf16": train_bf16,
+        "train_tflops_per_sec_f32": train_tflops_f32,
+        "train_tflops_per_sec_bf16": train_tflops_bf16,
+        "train_mfu_bf16_peak": (None if train_tflops_bf16 is None else
+                                round(train_tflops_bf16 * 1e12 / V5E_BF16_PEAK, 4)),
         "train_batch": TRAIN_BATCH,
     }))
 

@@ -12,6 +12,12 @@ way.
 
 Outputs are bit-identical to `sag-deploy --batch_size 1` over the same
 samples (tests/test_stream.py pins the engine-level equality).
+
+Multi-session serving: pass comma-separated input/output lists and the
+sessions are multiplexed through ONE StreamBatcher — one batched forward
+per 0.1 s tick for all of them (audio-only models; see deploy/stream.py):
+
+    sag-serve MODEL_DIR a.wav,b.wav,c.wav oa.wav,ob.wav,oc.wav
 """
 
 from __future__ import annotations
@@ -42,6 +48,14 @@ def main(argv=None) -> None:
     from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
 
     enable_compile_cache()
+
+    inputs = args.input_wav.split(",")
+    outputs = args.output_wav.split(",")
+    assert len(inputs) == len(outputs), \
+        f"{len(inputs)} inputs vs {len(outputs)} outputs"
+    if len(inputs) > 1:
+        return _serve_batched(args, inputs, outputs)
+
     stream = StreamingMonoToAmbix(args.model_dir,
                                   compute_dtype=args.compute_dtype)
     rate = stream.cfg.audio_rate
@@ -98,6 +112,75 @@ def main(argv=None) -> None:
              f"; kept_up={bool(np.percentile(lat_ms, 90) < 100.0)}"))
     print(f"wrote {args.output_wav} ({foa.shape[0]} frames x "
           f"{foa.shape[1]} ch @ {rate} Hz)")
+
+
+def _serve_batched(args, inputs: list, outputs: list) -> None:
+    """N sessions through one StreamBatcher: one batched forward per tick.
+    Sessions whose input ends early are flushed and leave their lane; the
+    remaining sessions keep ticking."""
+    import time as _time
+
+    import numpy as np
+
+    from spatialaudiogen_tpu.deploy.stream import StreamBatcher
+    from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+
+    batcher = StreamBatcher(args.model_dir, capacity=len(inputs),
+                            compute_dtype=args.compute_dtype)
+    assert "video" not in batcher.cfg.encoders, \
+        "batched serving is audio-only (per-session --frames_dir not wired)"
+    rate = batcher.cfg.audio_rate
+    block = batcher.geometry.snd_dur
+
+    monos = []
+    for fn in inputs:
+        data, _ = load_wav(fn, rate, dtype=np.float32)
+        monos.append(data if data.ndim == 1 else data[:, 0])
+    sids = [batcher.add_session() for _ in monos]
+    out_chunks = {sid: [] for sid in sids}
+
+    def collect(result):
+        for sid, chunks in result.items():
+            out_chunks[sid].extend(chunks)
+
+    lat = []
+    live = set(sids)
+    t_start = _time.perf_counter()
+    for k in range(0, max(map(len, monos)), block):
+        if args.realtime:
+            target = t_start + (k + block) / rate
+            delay = target - _time.perf_counter()
+            if delay > 0:
+                _time.sleep(delay)
+        for i, sid in enumerate(sids):
+            if sid in live and k < len(monos[i]):
+                batcher.push(sid, monos[i][k: k + block])
+        t0 = _time.perf_counter()
+        collect(batcher.tick())
+        lat.append(_time.perf_counter() - t0)
+        for i, sid in enumerate(sids):
+            if sid in live and k + block >= len(monos[i]):
+                collect(batcher.flush(sid))  # end of this session's input
+                batcher.remove_session(sid)
+                live.discard(sid)
+    for sid in list(live):
+        collect(batcher.flush(sid))
+
+    wall = _time.perf_counter() - t_start
+    total_served = 0.0
+    for i, (sid, out_fn) in enumerate(zip(sids, outputs)):
+        assert out_chunks[sid], f"input {inputs[i]} shorter than one window"
+        foa = np.concatenate(out_chunks[sid], axis=0)
+        save_wav(out_fn, foa, rate)
+        total_served += foa.shape[0] / rate
+        print(f"wrote {out_fn} ({foa.shape[0]} frames x {foa.shape[1]} ch)")
+    lat_ms = np.array(lat) * 1e3
+    print(f"served {len(inputs)} sessions, {total_served:.1f} s of FOA total "
+          f"in {wall:.1f} s ({total_served / wall:.1f}x realtime aggregate); "
+          f"per-tick latency median {np.median(lat_ms):.1f} ms / p90 "
+          f"{np.percentile(lat_ms, 90):.1f} ms"
+          + ("" if not args.realtime else
+             f"; kept_up={bool(np.percentile(lat_ms, 90) < 100.0)}"))
 
 
 if __name__ == "__main__":

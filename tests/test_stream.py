@@ -130,6 +130,33 @@ def test_serve_cli_matches_deploy(clip_and_models, tmp_path):
     assert os.path.getsize(out_wav) > 0
 
 
+def test_serve_cli_batched_sessions(clip_and_models, tmp_path):
+    """sag-serve with comma-separated inputs multiplexes sessions through
+    one StreamBatcher; each output matches its single-session serve to
+    within the PCM16 wav quantization + one f16 transport ulp."""
+    from spatialaudiogen_tpu.cli.serve import main as serve_main
+    from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 3.2)
+    ins, single_outs = [], []
+    for i, off in enumerate((0, 9000)):
+        sig = np.roll(mono, -off)[:144000 - 4800 * i]  # different lengths
+        fn = str(tmp_path / f"in{i}.wav")
+        save_wav(fn, sig[:, None], 48000, subtype="float32")
+        ins.append(fn)
+        out1 = str(tmp_path / f"single{i}.wav")
+        serve_main([models["audio"], fn, out1])
+        single_outs.append(out1)
+    outs = [str(tmp_path / f"out{i}.wav") for i in range(2)]
+    serve_main([models["audio"], ",".join(ins), ",".join(outs)])
+    for got_fn, want_fn in zip(outs, single_outs):
+        got, _ = load_wav(got_fn, dtype=np.float32)
+        want, _ = load_wav(want_fn, dtype=np.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2.5 / 32768)
+
+
 def test_flush_emits_all_output_within_pushed_audio(clip_and_models):
     """flush() zero-pads the future context so output covers [0.5 s, T)."""
     from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix

@@ -1,0 +1,90 @@
+"""Measure multi-session streaming serving throughput (StreamBatcher).
+
+    python tools/bench_serve.py [--capacity 16] [--seconds 30] [--model DIR]
+
+Drives `capacity` concurrent synthetic sessions through one StreamBatcher:
+every logical 0.1 s, each session pushes 4800 new mono samples and the
+batcher runs ONE batched forward (device-resident rolling contexts, so the
+tick ships only capacity x 0.1 s of audio up and capacity x (4800, 3) f16
+predictions down). Reports per-tick latency percentiles and the verdict:
+`capacity` sessions hold realtime iff p99 tick latency < 100 ms.
+
+Uses the bench audio-only model (.bench_e2e/model_audio, created by
+bench.py). Timing is verified-sync: every tick ends with the host fetch of
+the tick's predictions (np.asarray inside tick), which on the in-order
+axon queue waits for the whole tick's work.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--capacity", type=int, default=16)
+    p.add_argument("--seconds", type=float, default=30.0,
+                   help="simulated audio seconds per session")
+    p.add_argument("--model", default=os.path.join(_REPO, ".bench_e2e",
+                                                   "model_audio"))
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from spatialaudiogen_tpu.deploy.stream import StreamBatcher
+
+    assert os.path.isdir(args.model), \
+        f"{args.model} missing - run bench.py once to create it"
+    b = StreamBatcher(args.model, capacity=args.capacity)
+    sids = [b.add_session() for _ in range(args.capacity)]
+    rng = np.random.RandomState(0)
+    signals = rng.randn(args.capacity, int(48000 * (args.seconds + 1.2))) \
+        .astype(np.float32) * 0.1
+
+    # prime: fill each session's first window (context) + compile the tick
+    warm = 52799 + 4800
+    for i, sid in enumerate(sids):
+        b.push(sid, signals[i, :warm])
+    t0 = time.perf_counter()
+    out = b.tick()
+    print(f"first tick (compile/warm): {time.perf_counter() - t0:.1f}s, "
+          f"{sum(map(len, out.values()))} chunks")
+
+    n_ticks = int(args.seconds * 10) - 14
+    lat = []
+    pos = warm
+    emitted = 0
+    for t in range(n_ticks):
+        for i, sid in enumerate(sids):
+            b.push(sid, signals[i, pos: pos + 4800])
+        pos += 4800
+        t0 = time.perf_counter()
+        out = b.tick()
+        lat.append(time.perf_counter() - t0)
+        emitted += sum(map(len, out.values()))
+    lat_ms = np.array(lat) * 1e3
+    p50, p90, p99 = np.percentile(lat_ms, [50, 90, 99])
+    realtime = p99 < 100.0
+    print(f"capacity={args.capacity}: {n_ticks} ticks, {emitted} chunks "
+          f"({emitted / args.capacity / 10:.1f} s/session)")
+    print(f"tick latency ms: p50={p50:.1f} p90={p90:.1f} p99={p99:.1f} "
+          f"max={lat_ms.max():.1f}")
+    print(f"sessions-at-realtime verdict: {args.capacity} sessions "
+          f"{'HOLD' if realtime else 'MISS'} the 100 ms/window budget "
+          f"(p99 {p99:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,12 +9,14 @@ written entirely in jnp, so "preprocess the dataset's most expensive stage"
 can run on the same TPU that trains.
 
 TPU-first shape: every frame pair in a clip is solved as one batched
-program — a Gaussian pyramid built by strided 5-tap convs, per-level
+program — a Gaussian pyramid built by strided 5-tap convs, a global
+affine pre-alignment by batched 6x6 Gauss-Newton (_affine_init), per-level
 warp + Jacobi relaxation under lax.scan (static trip counts, no
-data-dependent control flow), bilinear warps via map_coordinates(order=1)
-vmapped over the batch. All elementwise/conv work, which XLA fuses; there
-is no per-pixel host loop anywhere (the reference's vrProjector-style
-loops are the anti-pattern).
+data-dependent control flow) with an inter-warp 3x3 flow median
+(_median3), bilinear warps via map_coordinates(order=1) vmapped over the
+batch. All elementwise/conv/sort work, which XLA fuses; there is no
+per-pixel host loop anywhere (the reference's vrProjector-style loops are
+the anti-pattern).
 
 Like Farneback, this is NOT FlowNet2: models trained on it are not
 weight-compatible with the released flow-encoder checkpoints (documented
@@ -96,6 +98,25 @@ def _gradients(i1, i2w):
 CHARBONNIER_EPS = 0.01  # data-term robustness scale ([0,1] gray units)
 
 
+def _median3(x):
+    """3x3 median over (B, H, W), edge-padded.
+
+    Flow median filtering between warp iterations is the classic
+    "secrets of optical flow" (Sun et al. 2010) robustness step: it kills
+    the subpixel drift the warp's bilinear resampling error feeds into the
+    data term, without blurring motion boundaries the way a larger
+    smoothness weight would. TPU shape: a 9-way shifted stack + one sort —
+    no gather, no data-dependent control flow.
+    """
+    import jax.numpy as jnp
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    h, w = x.shape[1], x.shape[2]
+    stack = jnp.stack([xp[:, dy: dy + h, dx: dx + w]
+                       for dy in range(3) for dx in range(3)])
+    return jnp.median(stack, axis=0)
+
+
 def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
     """Warp-iterate Horn-Schunck at one pyramid level (incremental flow).
 
@@ -108,6 +129,14 @@ def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
     2.70 of the true 3 px, with pure-translation accuracy unchanged
     (<0.01 px). eps = CHARBONNIER_EPS; the small-residual limit is exactly
     classic quadratic Horn-Schunck.
+
+    After each warp's Jacobi solve the field is 3x3-median filtered
+    (_median3). Measured on the quality fixtures (tests/test_flow_quality,
+    alpha=0.05): zoom+pan EPE 0.21 -> 0.089 px, translation median error
+    0.05 -> 0.004 px, blob-under-occlusion mean flow unchanged (2.45 ->
+    2.46 of 3 px) — the drift the median removes is resampling noise, not
+    signal. 5x5 medians cut EPE further (0.053) but start eating the
+    blob's local motion (2.20/3); 3x3 is the balanced default.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -130,7 +159,58 @@ def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
 
         (du, dv), _ = lax.scan(jacobi, (jnp.zeros_like(u), jnp.zeros_like(v)),
                                None, length=n_iters)
-        u, v = u + du, v + dv
+        u, v = _median3(u + du), _median3(v + dv)
+    return u, v
+
+
+def _affine_init(i1, i2, n_iters: int = 8):
+    """Global 6-parameter affine pre-alignment, batched Gauss-Newton.
+
+    Camera motion (pan/zoom/rotation) is affine to first order, and an
+    affine field has zero Laplacian — it lies in the null space of the
+    Horn-Schunck smoothness term, so HS *can* represent it exactly but
+    Jacobi relaxation from zero flow converges toward it slowly (measured:
+    0.21 px residual EPE on zoom+pan at the production iteration budget).
+    A global fit has no such propagation problem: each Gauss-Newton step
+    solves one 6x6 normal system per pair (brightness constancy linearized
+    at the current warp, basis [x, y, 1] per component, coordinates
+    centered and scaled to [-1, 1] for conditioning), which is a handful
+    of fused elementwise ops + reductions — ideal TPU work. The dense
+    affine field then seeds the pyramid's coarsest level and HS only
+    carries the non-parametric residual.
+
+    Degenerate pairs (flat frames: zero gradients everywhere) give a zero
+    normal matrix; the trace-scaled ridge keeps the solve finite and the
+    zero right-hand side keeps the update exactly zero.
+
+    Returns dense (u, v) at the input resolution.
+    """
+    import jax.numpy as jnp
+
+    b, h, w = i1.shape
+    dt = i1.dtype
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=dt), jnp.arange(w, dtype=dt),
+                          indexing="ij")
+    s = max(h, w) / 2.0
+    xn = (xx - (w - 1) / 2.0) / s
+    yn = (yy - (h - 1) / 2.0) / s
+    eye6 = jnp.eye(6, dtype=dt)
+    u = jnp.zeros_like(i1)
+    v = jnp.zeros_like(i1)
+    for _ in range(n_iters):
+        i2w = _warp(i2, u, v)
+        ix, iy, it = _gradients(i1, i2w)
+        j = jnp.stack([ix * xn, ix * yn, ix, iy * xn, iy * yn, iy],
+                      axis=-1).reshape(b, -1, 6)
+        a = jnp.einsum("bpi,bpj->bij", j, j)
+        g = -jnp.einsum("bpi,bp->bi", j, it.reshape(b, -1))
+        ridge = 1e-6 * jnp.trace(a, axis1=1, axis2=2) / 6.0 + 1e-12
+        dp = jnp.linalg.solve(a + ridge[:, None, None] * eye6,
+                              g[..., None])[..., 0]
+        u = u + (dp[:, 0, None, None] * xn + dp[:, 1, None, None] * yn
+                 + dp[:, 2, None, None])
+        v = v + (dp[:, 3, None, None] * xn + dp[:, 4, None, None] * yn
+                 + dp[:, 5, None, None])
     return u, v
 
 
@@ -152,12 +232,15 @@ def _n_levels(h: int, w: int, min_size: int = 24) -> int:
 
 
 def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
-               n_iters: int = 60, n_levels: int | None = None):
+               n_iters: int = 60, n_levels: int | None = None,
+               affine_init: bool = True):
     """Dense flow for a batch of gray frame pairs.
 
     i1, i2: (B, H, W) float in [0, 1]. Returns (B, H, W, 2) with
     [..., 0] = x-displacement, [..., 1] = y-displacement (the Farneback /
-    FlowReader convention, etl/flow.py).
+    FlowReader convention, etl/flow.py). `affine_init` seeds the coarsest
+    level with a global affine fit (_affine_init) so camera motion is
+    carried parametrically and HS solves only the residual.
     """
     import jax.numpy as jnp
 
@@ -167,8 +250,11 @@ def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
     for _ in range(levels - 1):
         pyr1.append(_downsample(pyr1[-1]))
         pyr2.append(_downsample(pyr2[-1]))
-    u = jnp.zeros_like(pyr1[-1])
-    v = jnp.zeros_like(pyr1[-1])
+    if affine_init:
+        u, v = _affine_init(pyr1[-1], pyr2[-1])
+    else:
+        u = jnp.zeros_like(pyr1[-1])
+        v = jnp.zeros_like(pyr1[-1])
     for lvl in range(levels - 1, -1, -1):
         if lvl != levels - 1:
             u, v = _upsample_flow(u, v, pyr1[lvl].shape[1:])
@@ -183,18 +269,21 @@ def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_flow(alpha: float, n_warps: int, n_iters: int):
+def _jitted_flow(alpha: float, n_warps: int, n_iters: int,
+                 affine_init: bool = True):
     """One jit wrapper per hyperparameter set; jax.jit itself caches the
     compiled executable per input shape."""
     import jax
 
     return jax.jit(functools.partial(flow_pairs, alpha=alpha, n_warps=n_warps,
-                                     n_iters=n_iters))
+                                     n_iters=n_iters,
+                                     affine_init=affine_init))
 
 
 def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
                       n_warps: int = 3, n_iters: int = 60,
-                      pair_batch: int = 16) -> np.ndarray:
+                      pair_batch: int = 16,
+                      affine_init: bool = True) -> np.ndarray:
     """(T, H, W, 3) uint8/float frames -> (T, H, W, 2) flow (last repeats).
 
     Drop-in twin of etl.flow.farneback_flow with the compute on the JAX
@@ -202,11 +291,12 @@ def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
     (zero-padded tail) so one executable serves any clip length.
 
     alpha=0.05 measured best across the quality fixtures (same solver
-    cost): natural-texture zoom+pan EPE 0.21 px vs 0.39 at the old 0.02
-    (photometric 0.0033 vs 0.0063), subpixel translations 0.08 px, blob
-    occlusion 2.75/3 px; alpha<=0.01 destabilizes the Jacobi relaxation
-    (EPE > 4 px) and alpha=0.1 over-smooths translations
-    (tests/test_flow_quality.py, PERF.md).
+    cost); with the round-4 affine pre-alignment + inter-warp 3x3 flow
+    median: natural-texture zoom+pan EPE 0.089 px (0.21 before, 0.39 at
+    the old alpha=0.02), photometric 0.0081 (still beats Farneback's
+    0.0096), translations 0.004 px, blob occlusion 2.46/3 px. alpha=0.03
+    trades EPE 0.11 for blob 2.67; alpha=0.07 over-smooths the blob to
+    1.65 (tests/test_flow_quality.py, PERF.md).
     """
     import jax.numpy as jnp
 
@@ -217,7 +307,7 @@ def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
             @ np.array([0.299, 0.587, 0.114], np.float32))
     if frames.dtype == np.uint8 or gray.max() > 2.0:
         gray = gray / 255.0
-    fn = _jitted_flow(alpha, n_warps, n_iters)
+    fn = _jitted_flow(alpha, n_warps, n_iters, affine_init)
     out = np.zeros((t, h, w, 2), np.float32)
     for start in range(0, t - 1, pair_batch):
         stop = min(start + pair_batch, t - 1)

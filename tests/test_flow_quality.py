@@ -10,10 +10,12 @@ warp, and (b) run the full modality path end to end: frames -> sag-flow
 evals. Reference analogue: scraping/flow.py + preprocess.py:156-204 produce
 the artifacts feeder.py:135-161 consumes.
 
-Measured on these fixtures (also recorded in PERF.md), alpha=0.05 default:
-  zoom+pan warps, 96x128 1/f texture: EPE tpu 0.21 px vs farneback 0.021 px
-  (Farneback's polynomial model is exact for affine motion — this fixture
-  flatters it); photometric |I0 - warp(I1)|: tpu 0.0033 BEATS farneback
+Measured on these fixtures (also recorded in PERF.md), alpha=0.05 default
+with the round-4 affine pre-alignment + inter-warp 3x3 flow median:
+  zoom+pan warps, 96x128 1/f texture: EPE tpu 0.089 px (0.21 in round 3)
+  vs farneback 0.021 px (Farneback's polynomial model is exact for affine
+  motion — this fixture flatters it; the pure affine fit alone measures
+  0.005 px); photometric |I0 - warp(I1)|: tpu 0.0081 still BEATS farneback
   0.0096, both far under the no-flow 0.099 (texture in [0, 1]).
 """
 
@@ -104,21 +106,49 @@ def test_tpu_flow_epe_and_photometric_vs_farneback():
           f"EPE tpu={tpu_epe:.3f}px farneback={fb_epe:.3f}px | "
           f"photometric tpu={tpu_ph:.4f} farneback={fb_ph:.4f} "
           f"no-flow={zero_ph:.4f}")
-    # Measured (alpha=0.05 default): EPE tpu 0.21 px vs farneback 0.021 px —
-    # Farneback's quadratic-polynomial model is EXACT for affine warps, so
-    # this fixture flatters it; HS's smoothness prior costs ~0.2 px here.
-    # Photometrically the ranking flips: tpu 0.0033 vs farneback 0.0096
-    # (30x / 10x better than no-flow 0.099) — the HS field explains the
-    # brightness motion BETTER. Pin both characteristics:
-    assert tpu_epe < 0.35, (tpu_epe, epes)          # sub-half-pixel EPE
+    # Measured (alpha=0.05, affine init + 3x3 inter-warp median): EPE tpu
+    # 0.089 px vs farneback 0.021 px — Farneback's quadratic-polynomial
+    # model is EXACT for affine warps, so this fixture flatters it (the
+    # affine pre-fit alone measures 0.005 px; the residual is the HS
+    # refinement's resampling-noise floor). Photometric: tpu 0.0081 vs
+    # farneback 0.0096 (12x better than no-flow 0.099) — the HS field
+    # explains the brightness motion BETTER. Pin both characteristics:
+    assert tpu_epe < 0.15, (tpu_epe, epes)          # was 0.21 in round 3
     assert fb_epe < 0.1, (fb_epe,)                  # fixture sanity
     assert tpu_ph < 0.1 * zero_ph, (tpu_ph, zero_ph)
-    assert tpu_ph < 1.2 * fb_ph, (tpu_ph, fb_ph)    # no photometric fork
+    assert tpu_ph < 1.1 * fb_ph, (tpu_ph, fb_ph)    # no photometric fork
+
+
+def test_blob_occlusion_local_motion_survives_median():
+    """A blob moving +3 px in x over a background moving -1 px: the global
+    affine fit and the inter-warp median must NOT average the blob's local
+    motion away. Pins the robustness trade recorded in ops/flow.py
+    (measured 2.46/3 px; 5x5 medians drop it to 2.20, alpha=0.07 to 1.65)."""
+    from scipy.ndimage import gaussian_filter, shift
+
+    from spatialaudiogen_tpu.ops.flow import horn_schunck_flow
+
+    rng = np.random.RandomState(3)
+    bg = gaussian_filter(rng.rand(96, 128), 2.0)
+    ys, xs = np.mgrid[0:96, 0:128]
+    mask = np.exp(-(((xs - 64) ** 2 + (ys - 48) ** 2) / 120.0))
+    fg = gaussian_filter(rng.rand(96, 128), 1.5)
+    f0 = bg * (1 - mask) + fg * mask
+    m1 = shift(mask, (0, 3), order=3, mode="nearest")
+    f1 = (shift(bg, (0, -1), order=3, mode="nearest") * (1 - m1)
+          + shift(fg, (0, 3), order=3, mode="nearest") * m1)
+    frames = np.stack([_rgb(np.clip(f0, 0, 1)), _rgb(np.clip(f1, 0, 1))])
+    flow = np.asarray(horn_schunck_flow(frames))[0]
+    blob_u = float(flow[..., 0][mask > 0.5].mean())
+    bg_sel = mask < 0.05
+    bg_u = float(flow[..., 0][bg_sel].mean())
+    assert blob_u > 2.2, blob_u            # blob motion recovered (3 true)
+    assert abs(bg_u + 1.0) < 0.35, bg_u    # background motion (-1 true)
 
 
 def test_audio_flow_model_trains_on_tpu_flow_artifacts(tmp_path):
     """sag-flow --method tpu artifacts feed an audio+flow model end to end:
-    loss descends over 10 steps and the evaluator scores a batch."""
+    loss descends over 20 steps and the evaluator scores a batch."""
     import json
     import os
 
@@ -140,17 +170,18 @@ def test_audio_flow_model_trains_on_tpu_flow_artifacts(tmp_path):
     model_dir = str(tmp_path / "model")
     cfg = TrainConfig(db_dir=root, model_dir=model_dir,
                       encoders=("audio", "flow"), separation="none",
-                      n_iters=10, batch_size=2, n_workers=2,
+                      n_iters=20, batch_size=2, n_workers=2,
                       frame_hw=(64, 128), log_every=1, ckpt_every=0,
                       n_data=1, seed=0)
     Trainer(cfg).train()
     losses = [json.loads(line)["total_loss"]
               for line in open(os.path.join(model_dir, "metrics.jsonl"))
               if "total_loss" in line]
-    assert len(losses) >= 8
+    assert len(losses) >= 16
     # feeder worker scheduling reorders batches run to run, so single-step
-    # comparisons are noisy; the descent signal is mean(last 3) vs first
-    assert np.mean(losses[-3:]) < losses[0], losses
+    # comparisons are noisy; the descent signal is mean(last 3) vs
+    # mean(first 3) over 20 steps (measured 1745 -> 992 on this seed)
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
     assert np.isfinite(losses).all(), losses
 
     ev = Evaluator(model_dir, batch_size=2, n_workers=2)

@@ -91,11 +91,14 @@ def device_fwd_bench(bf16: bool = False):
     return realtime, tflops, g
 
 
-E2E_AUDIO_BATCH = 384  # audio-only windows are tiny; amortize transfer
-# latency. Same-congestion-window A/B on the 595 s clip: batch 128 -> 32x,
-# 256 -> 55x, 384 -> 58x, 512 -> 32x (the ~15 MB single-RPC prediction
-# fetch falls off a tunnel cliff past ~11 MB); 384 also amortizes the
-# ~60 ms of fixed per-batch RPC latencies over 3x the audio of 128.
+E2E_AUDIO_BATCH = 512  # audio-only windows are tiny; amortize transfer
+# latency. Round-4 A/B on the 595 s clip WITH sub-cliff chunked fetches
+# (tools/bench_audio_ab.py, healthy ~55 MB/s links): 128 -> 43.6x,
+# 384 -> 62.4x, 512 -> 65.7-70.3x, then DOWN: 640 -> 49.9, 768 -> 53.4,
+# 1024 -> 61.0 (more <=8 MB fetch parts pay more fixed ~30 ms RPC
+# latencies than the extra batching amortizes). Round 3's single-RPC
+# fetch had capped 512 at 32x on the >11 MB D2H cliff; chunking removed
+# the cliff and moved the optimum from 384 to 512.
 # the audio-only pipeline moves ~5 MB per 12.8 s of audio — a 36 s clip is
 # only 3 batches, all pipeline fill/drain; a several-minute clip (typical
 # 360 deploy length) measures the steady state (~180 ms per 12.8 s batch:

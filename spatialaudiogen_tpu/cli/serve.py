@@ -145,10 +145,13 @@ def _serve_batched(args, inputs: list, outputs: list) -> None:
 
     lat = []
     live = set(sids)
+    longest = max(map(len, monos))
     t_start = _time.perf_counter()
-    for k in range(0, max(map(len, monos)), block):
+    for k in range(0, longest, block):
         if args.realtime:
-            target = t_start + (k + block) / rate
+            # pace at each block's capture END, clamped at end-of-input —
+            # same rule (and same reason) as the single-session path above
+            target = t_start + min(k + block, longest) / rate
             delay = target - _time.perf_counter()
             if delay > 0:
                 _time.sleep(delay)
@@ -156,8 +159,14 @@ def _serve_batched(args, inputs: list, outputs: list) -> None:
             if sid in live and k < len(monos[i]):
                 batcher.push(sid, monos[i][k: k + block])
         t0 = _time.perf_counter()
-        collect(batcher.tick())
-        lat.append(_time.perf_counter() - t0)
+        res = batcher.tick()
+        if any(res.values()):
+            # only ticks that ran a forward count toward the latency stats
+            # (warm-up / no-ready-window ticks return immediately and would
+            # flatter the median and the kept_up verdict — the
+            # single-session path's `if out:` rule)
+            lat.append(_time.perf_counter() - t0)
+        collect(res)
         for i, sid in enumerate(sids):
             if sid in live and k + block >= len(monos[i]):
                 collect(batcher.flush(sid))  # end of this session's input

@@ -231,7 +231,7 @@ def _n_levels(h: int, w: int, min_size: int = 24) -> int:
     return n
 
 
-def flow_pairs(i1, i2, alpha: float = 0.02, n_warps: int = 3,
+def flow_pairs(i1, i2, alpha: float = 0.05, n_warps: int = 3,
                n_iters: int = 60, n_levels: int | None = None,
                affine_init: bool = True):
     """Dense flow for a batch of gray frame pairs.

@@ -79,17 +79,26 @@ class Checkpointer:
             max_to_keep=max_to_keep, create=True,
             enable_async_checkpointing=True)
         self._mgr = ocp.CheckpointManager(path, options=options)
-        self._last_saved = self._mgr.latest_step()
+        # steps saved by THIS instance only: a step number left by a
+        # PREVIOUS run into the same model_dir must be overwritten with the
+        # new state (tf.train.Saver semantics), not deduped — deduping it
+        # silently kept the stale weights while printing "Saving model."
+        self._last_saved = None
 
     def save(self, step: int, state, wait: bool = False) -> None:
         import orbax.checkpoint as ocp
 
         if self._last_saved == int(step):
-            # e.g. the trainer's exit path right after a ckpt_every save of
-            # the same step — orbax would raise StepAlreadyExists
+            # the trainer's exit path right after a ckpt_every save of the
+            # SAME state at the same step — orbax would raise
+            # StepAlreadyExists and a rewrite would be a no-op
             if wait:
                 self._mgr.wait_until_finished()
             return
+        if int(step) in self._mgr.all_steps():
+            # stale step from a previous (non-resumed) run: overwrite
+            self._mgr.wait_until_finished()
+            self._mgr.delete(int(step))
         _drain_queue(state)
         # orbax itself joins any still-in-flight previous save first
         self._mgr.save(int(step), args=ocp.args.StandardSave(state))

@@ -140,7 +140,17 @@ def test_async_save_overlaps_and_same_step_is_idempotent(tmp_path):
         ckpt.wait()
         assert ckpt.latest_step() == 1
     assert latest_step(str(tmp_path)) == 1
-    # a fresh Checkpointer also refuses to double-save an existing step
+    # a fresh Checkpointer (a NEW run into the same model_dir) must
+    # OVERWRITE an existing step with the new state, not silently keep the
+    # stale weights (tf.train.Saver semantics) — regression: the dedupe
+    # guard used to treat the directory's pre-existing latest step as
+    # "already saved" and skipped the write
+    state_b = create_train_state(model, tx, jax.random.PRNGKey(7), batch)
     with Checkpointer(str(tmp_path)) as ckpt:
-        ckpt.save(1, state, wait=True)
+        ckpt.save(1, state_b, wait=True)
         assert ckpt.latest_step() == 1
+    restored, step = restore_checkpoint(str(tmp_path), state)
+    assert step == 1
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state_b.params)

@@ -218,12 +218,14 @@ def test_stream_batcher_matches_independent_streams(clip_and_models):
     """N multiplexed sessions == N independent batch-1 streams (audio-only:
     the audio path's BatchNorm uses running averages at eval, so lanes are
     mathematically independent). Batch-C and batch-1 are different XLA
-    executables whose per-lane reductions reorder, so cross-shape equality
-    is to float tolerance (observed: 99.95% of elements bitwise, max diff
-    one f16 transport ulp ~2e-6); the bitwise no-leakage guarantee is
-    test_stream_batcher_lane_isolation_is_bitwise. Sessions start at
-    staggered offsets and push odd-sized blocks; one joins mid-run, one
-    leaves."""
+    executables whose per-lane reductions reorder (~1e-7 f32), so after the
+    f16 transport cast each element agrees bitwise (observed >99.5%) or
+    lands on an adjacent f16 code — the exact bound is one f16 ulp AT THAT
+    ELEMENT'S MAGNITUDE (a fixed atol flakes: fresh fixture weights shift
+    element magnitudes and the ulp scales with them). The bitwise
+    no-leakage guarantee is test_stream_batcher_lane_isolation_is_bitwise.
+    Sessions start at staggered offsets and push odd-sized blocks; one
+    joins mid-run, one leaves."""
     from spatialaudiogen_tpu.deploy.stream import (StreamBatcher,
                                                    StreamingMonoToAmbix)
 
@@ -263,7 +265,11 @@ def test_stream_batcher_matches_independent_streams(clip_and_models):
         a, b = np.concatenate(got[i]), np.concatenate(ref[i])
         # mono passthrough is host-side: bitwise either way
         np.testing.assert_array_equal(a[:, 0], b[:, 0], err_msg=f"s{i} mono")
-        np.testing.assert_allclose(a, b, atol=2.5e-6, err_msg=f"s{i}")
+        ulp = np.spacing(np.maximum(np.abs(a), np.abs(b)).astype(np.float16))
+        over = np.abs(a - b) > ulp.astype(np.float32) * (1 + 1e-6)
+        assert not over.any(), \
+            f"s{i}: {over.sum()} elements differ by >1 f16 ulp " \
+            f"(max {np.abs(a - b)[over].max():.3e})"
         assert (a == b).mean() > 0.995, f"s{i}: too few bitwise-equal"
 
     # leave: the lane frees and a new session can reuse it

@@ -187,3 +187,13 @@ def test_audio_flow_model_trains_on_tpu_flow_artifacts(tmp_path):
     ev = Evaluator(model_dir, batch_size=2, n_workers=2)
     summary, results = ev.run(host_threads=2, max_batches=1, print_every=0)
     assert results and np.isfinite(summary["stft/avg"]), summary
+
+    # deploy: flow-encoder configs take the per-window host-assembly path
+    # (deploy.py _predict_span_host) — the one deploy route not otherwise
+    # driven by a flow model anywhere in the suite
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+
+    model = MonoToAmbix(model_dir, batch_size=2)
+    out = model.deploy(os.path.join(root, ids[0]), 0.5, 1.0)
+    assert out.shape == (48000, 4), out.shape
+    assert np.isfinite(out).all()

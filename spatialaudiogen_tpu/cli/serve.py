@@ -15,9 +15,11 @@ samples (tests/test_stream.py pins the engine-level equality).
 
 Multi-session serving: pass comma-separated input/output lists and the
 sessions are multiplexed through ONE StreamBatcher — one batched forward
-per 0.1 s tick for all of them (audio-only models; see deploy/stream.py):
+per 0.1 s tick for all of them. Video models list one frames dir per
+input (lanes then share batch statistics exactly like batch deploy —
+deploy/stream.py):
 
-    sag-serve MODEL_DIR a.wav,b.wav,c.wav oa.wav,ob.wav,oc.wav
+    sag-serve MODEL_DIR a.wav,b.wav oa.wav,ob.wav [--frames_dir d1,d2]
 """
 
 from __future__ import annotations
@@ -127,10 +129,28 @@ def _serve_batched(args, inputs: list, outputs: list) -> None:
 
     batcher = StreamBatcher(args.model_dir, capacity=len(inputs),
                             compute_dtype=args.compute_dtype)
-    assert "video" not in batcher.cfg.encoders, \
-        "batched serving is audio-only (per-session --frames_dir not wired)"
     rate = batcher.cfg.audio_rate
     block = batcher.geometry.snd_dur
+
+    # per-session frame readers for video models: --frames_dir lists one
+    # 10 fps jpg dir per input, comma-separated like the wav lists. Frames
+    # decode lazily, one per pushed block (the single-session rule). NOTE
+    # (deploy/stream.py): the batch-statistics BatchNorm quirk couples
+    # video lanes exactly like the batch deploy couples windows — batched
+    # video serving matches MonoToAmbix batch semantics, not N isolated
+    # batch-1 streams.
+    frame_readers = None
+    if "video" in batcher.cfg.encoders:
+        assert args.frames_dir, \
+            "video model: pass --frames_dir d1,d2,... (one dir per input)"
+        from spatialaudiogen_tpu.data.readers import VideoFrameReader
+
+        dirs = args.frames_dir.split(",")
+        assert len(dirs) == len(inputs), \
+            f"{len(dirs)} frame dirs vs {len(inputs)} inputs"
+        frame_readers = [VideoFrameReader(d, rate=VideoFrameReader.RAW_RATE,
+                                          img_prep=lambda x: x)
+                         for d in dirs]
 
     monos = []
     for fn in inputs:
@@ -157,7 +177,11 @@ def _serve_batched(args, inputs: list, outputs: list) -> None:
                 _time.sleep(delay)
         for i, sid in enumerate(sids):
             if sid in live and k < len(monos[i]):
-                batcher.push(sid, monos[i][k: k + block])
+                frame = None
+                if frame_readers is not None:
+                    frame = frame_readers[i].get_by_index(
+                        (k // block) / 10.0, 1)[0]
+                batcher.push(sid, monos[i][k: k + block], frame)
         t0 = _time.perf_counter()
         res = batcher.tick()
         if any(res.values()):

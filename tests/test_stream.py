@@ -157,6 +157,51 @@ def test_serve_cli_batched_sessions(clip_and_models, tmp_path):
         np.testing.assert_allclose(got, want, atol=2.5 / 32768)
 
 
+def test_serve_cli_batched_video_sessions(clip_and_models, tmp_path):
+    """Batched sag-serve of a VIDEO model: per-session --frames_dir wiring.
+    CLI plumbing parity: the outputs must equal a library StreamBatcher fed
+    the identical block/frame schedule (video lanes share batch statistics
+    — the batch-deploy semantics, deploy/stream.py — so single-session
+    serve is NOT the oracle here)."""
+    from spatialaudiogen_tpu.cli.serve import main as serve_main
+    from spatialaudiogen_tpu.deploy.stream import StreamBatcher
+    from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 2.0)
+    n_blocks = len(mono) // 4800
+    frames = _frames_of(clip, n_blocks)
+    sigs = [mono, np.roll(mono, -4800)]
+    ins = []
+    for i, sig in enumerate(sigs):
+        fn = str(tmp_path / f"in{i}.wav")
+        save_wav(fn, sig[:, None], 48000, subtype="float32")
+        ins.append(fn)
+    outs = [str(tmp_path / f"out{i}.wav") for i in range(2)]
+    frames_dir = clip + "/video"
+    serve_main([models["av"], ",".join(ins), ",".join(outs),
+                "--frames_dir", f"{frames_dir},{frames_dir}"])
+
+    # library oracle: same schedule (one block + one frame per tick)
+    b = StreamBatcher(models["av"], capacity=2)
+    sids = [b.add_session(), b.add_session()]
+    ref = {s: [] for s in sids}
+    for k in range(0, len(mono), 4800):
+        for i, sid in enumerate(sids):
+            fr = frames[k // 4800] if k // 4800 < len(frames) else frames[-1]
+            b.push(sid, sigs[i][k: k + 4800], fr)
+        for sid, chunks in b.tick().items():
+            ref[sid].extend(chunks)
+    for sid in sids:
+        for k, v in b.flush(sid).items():
+            ref[k].extend(v)
+    for i, sid in enumerate(sids):
+        got, _ = load_wav(outs[i], dtype=np.float32)
+        want = np.concatenate(ref[sid], axis=0)
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, atol=1.1 / 32768)
+
+
 def test_flush_emits_all_output_within_pushed_audio(clip_and_models):
     """flush() zero-pads the future context so output covers [0.5 s, T)."""
     from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix

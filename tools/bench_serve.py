@@ -10,9 +10,12 @@ predictions down). Reports per-tick latency percentiles and the verdict:
 `capacity` sessions hold realtime iff p99 tick latency < 100 ms.
 
 Uses the bench audio-only model (.bench_e2e/model_audio, created by
-bench.py). Timing is verified-sync: every tick ends with the host fetch of
-the tick's predictions (np.asarray inside tick), which on the in-order
-axon queue waits for the whole tick's work.
+bench.py); --video switches to the flagship audio+RGB model
+(.bench_e2e/model) and pushes one synthetic 224x448 uint8 frame per
+session per tick (the dominant extra H2D: ~0.3 MB/session/tick). Timing
+is verified-sync: every tick ends with the host fetch of the tick's
+predictions (np.asarray inside tick), which on the in-order axon queue
+waits for the whole tick's work.
 """
 
 from __future__ import annotations
@@ -33,9 +36,14 @@ def main():
     p.add_argument("--capacity", type=int, default=16)
     p.add_argument("--seconds", type=float, default=30.0,
                    help="simulated audio seconds per session")
-    p.add_argument("--model", default=os.path.join(_REPO, ".bench_e2e",
-                                                   "model_audio"))
+    p.add_argument("--model", default=None)
+    p.add_argument("--video", action="store_true",
+                   help="use the flagship audio+RGB bench model and push "
+                        "one 224x448 frame per session per tick")
     args = p.parse_args()
+    if args.model is None:
+        args.model = os.path.join(
+            _REPO, ".bench_e2e", "model" if args.video else "model_audio")
 
     import jax
 
@@ -52,11 +60,23 @@ def main():
     rng = np.random.RandomState(0)
     signals = rng.randn(args.capacity, int(48000 * (args.seconds + 1.2))) \
         .astype(np.float32) * 0.1
+    needs_video = "video" in b.cfg.encoders
+    hw = tuple(b.cfg.frame_hw)
+    frames = (rng.randint(0, 255, (args.capacity,) + hw + (3,), np.uint8)
+              if needs_video else None)
+
+    def frame_of(i):
+        # fresh-ish content per tick without a decode in the timed loop:
+        # roll the session's base frame (content doesn't affect timing)
+        return None if frames is None else frames[i]
 
     # prime: fill each session's first window (context) + compile the tick
     warm = 52799 + 4800
     for i, sid in enumerate(sids):
         b.push(sid, signals[i, :warm])
+        if needs_video:
+            for _ in range(-(-warm // 4800)):  # one frame per 0.1 s pushed
+                b.push(sid, None, frame_of(i))
     t0 = time.perf_counter()
     out = b.tick()
     print(f"first tick (compile/warm): {time.perf_counter() - t0:.1f}s, "
@@ -68,7 +88,7 @@ def main():
     emitted = 0
     for t in range(n_ticks):
         for i, sid in enumerate(sids):
-            b.push(sid, signals[i, pos: pos + 4800])
+            b.push(sid, signals[i, pos: pos + 4800], frame_of(i))
         pos += 4800
         t0 = time.perf_counter()
         out = b.tick()

@@ -79,6 +79,12 @@ class _SessionState:
         if frame is not None:
             assert self._needs_video, "audio-only model given a frame"
             assert frame.dtype == np.uint8, "frames stream as uint8"
+            # (H, W, 3) RGB or (H*3/2, W) raw I420 planes — the device fn
+            # picks the branch by rank; a session must not mix the two
+            assert frame.ndim in (2, 3), frame.shape
+            if self._frames:
+                assert frame.ndim == next(iter(self._frames.values())).ndim, \
+                    "mixed RGB/I420 frames within one session"
             self._frames[self._frames_pushed] = frame
             self._frames_pushed += 1
 
@@ -129,7 +135,8 @@ class _SessionState:
         return w[g.nosep_ss: g.nosep_ss + g.snd_dur, None].astype(np.float32)
 
     def window_frames(self, k: int) -> np.ndarray | None:
-        """(T, H, W, 3) uint8 frames of window k (None for audio-only)."""
+        """(T, H, W, 3) RGB or (T, H*3/2, W) I420 uint8 frames of window k
+        (None for audio-only) — whichever form the session pushes."""
         if not self._needs_video:
             return None
         frames = []
@@ -230,8 +237,10 @@ class StreamingMonoToAmbix:
         computable (possibly empty, possibly several after a large block).
 
         samples: 1-D float32 mono (any length, including 0).
-        frame: (H, W, 3) uint8 RGB at the training resolution; push one per
-        0.1 s of audio (the 10 fps frames-layout rate), starting at t=0.
+        frame: (H, W, 3) uint8 RGB — or (H*3/2, W) raw I420 planes, halving
+        the frame transport for sources that natively produce 4:2:0 — at
+        the training resolution; push one per 0.1 s of audio (the 10 fps
+        frames-layout rate), starting at t=0.
         """
         self._session.push(samples, frame)
         return self._drain()
@@ -352,7 +361,17 @@ class StreamBatcher:
             audio = (new_buf * valid[:, None])[..., None]  # (C, snd_size, 1)
             video = None
             if video_u8 is not None:
-                video = video_u8.astype(jnp.float32) / 255.0 - 0.5
+                if video_u8.ndim == 4:  # (C, T, H*3/2, W) raw I420 planes
+                    # live sources natively produce 4:2:0; shipping planes
+                    # halves the dominant per-tick H2D (same device
+                    # conversion as the batch engine's yuv_frames path)
+                    from spatialaudiogen_tpu.deploy.deploy import (
+                        yuv420_planes_to_rgb01)
+
+                    h = video_u8.shape[2] * 2 // 3
+                    video = yuv420_planes_to_rgb01(video_u8, h) - 0.5
+                else:
+                    video = video_u8.astype(jnp.float32) / 255.0 - 0.5
                 video = video * valid[:, None, None, None, None]
             out = fwd(state, audio, video, None)
             if f16_fetch:
@@ -408,11 +427,7 @@ class StreamBatcher:
             chunk = np.zeros((self.capacity, g.snd_dur), np.float32)
             do_shift = np.zeros((self.capacity,), np.float32)
             valid = np.zeros((self.capacity,), np.float32)
-            video_u8 = None
-            if self._needs_video:
-                hw = tuple(self.cfg.frame_hw)
-                video_u8 = np.zeros(
-                    (self.capacity, g.vid_dur) + hw + (3,), np.uint8)
+            lane_frames: dict[int, np.ndarray] = {}
             metas = []
             for sid, s in emitting:
                 lane = self._lane_of[sid]
@@ -436,10 +451,23 @@ class StreamBatcher:
                     do_shift[lane] = 1.0
                 valid[lane] = 1.0
                 self._consumed[sid] = s0 + g.snd_size
-                if video_u8 is not None:
-                    video_u8[lane] = s.window_frames(k)
+                if self._needs_video:
+                    lane_frames[lane] = s.window_frames(k)
                 metas.append((sid, lane, s.window_mono(k)))
                 s.advance()
+            video_u8 = None
+            if self._needs_video:
+                # frame form is whatever the sessions push — (T, H, W, 3)
+                # RGB or (T, H*3/2, W) I420 planes (tick_fn branches on the
+                # rank); one batcher must see ONE form (each form is its
+                # own compiled executable, and mixed lanes can't stack)
+                shapes = {f.shape for f in lane_frames.values()}
+                assert len(shapes) == 1, \
+                    f"mixed frame forms across sessions: {shapes}"
+                video_u8 = np.zeros((self.capacity,) + shapes.pop(),
+                                    np.uint8)
+                for lane, f in lane_frames.items():
+                    video_u8[lane] = f
             self._buf, dev_out = self._tick_fn(
                 self.engine.state, self._buf, chunk, do_shift, valid,
                 video_u8)

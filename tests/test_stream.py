@@ -416,6 +416,58 @@ def test_congestion_stall_catch_up_semantics(clip_and_models):
     assert b.tick() == {}                 # nothing pending after catch-up
 
 
+def test_stream_i420_frames_track_rgb(clip_and_models):
+    """Pushing raw (H*3/2, W) I420 planes (half the frame bytes — the form
+    live 4:2:0 sources produce) tracks the RGB push to the same audio
+    tolerance as the batch engine's yuv_frames path (the device
+    triangle-filter chroma upsample vs exact RGB: frame inputs differ by
+    chroma subsampling only). Covers BOTH the batch-1 stream (fwd_span's
+    I420 branch) and the StreamBatcher tick (its own I420 branch)."""
+    from spatialaudiogen_tpu.deploy.deploy import host_rgb_to_i420
+    from spatialaudiogen_tpu.deploy.stream import (StreamBatcher,
+                                                   StreamingMonoToAmbix)
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 2.0)
+    frames = _frames_of(clip, int(np.ceil(len(mono) / 4800)))
+    planes = [host_rgb_to_i420(f[None])[0] for f in frames]
+
+    def run_stream(push_frames):
+        s = StreamingMonoToAmbix(models["av"])
+        out = []
+        for i in range(0, len(mono), 4800):
+            k = i // 4800
+            f = push_frames[k] if k < len(push_frames) else None
+            out.extend(s.push(mono[i: i + 4800], f))
+        out.extend(s.flush())
+        return np.concatenate(out, 0)
+
+    rgb, yuv = run_stream(frames), run_stream(planes)
+    assert rgb.shape == yuv.shape
+    np.testing.assert_array_equal(rgb[:, 0], yuv[:, 0])  # mono passthrough
+    scale = np.abs(rgb[:, 1:]).max() + 1e-9
+    assert np.abs(yuv[:, 1:] - rgb[:, 1:]).max() / scale < 0.05
+
+    def run_batcher(push_frames):
+        b = StreamBatcher(models["av"], capacity=2)
+        sid = b.add_session()
+        out = []
+        for i in range(0, len(mono), 4800):
+            k = i // 4800
+            f = push_frames[k] if k < len(push_frames) else None
+            b.push(sid, mono[i: i + 4800], f)
+            for _, chunks in b.tick().items():
+                out.extend(chunks)
+        for _, chunks in b.flush(sid).items():
+            out.extend(chunks)
+        return np.concatenate(out, 0)
+
+    b_rgb, b_yuv = run_batcher(frames), run_batcher(planes)
+    assert b_rgb.shape == b_yuv.shape
+    scale = np.abs(b_rgb[:, 1:]).max() + 1e-9
+    assert np.abs(b_yuv[:, 1:] - b_rgb[:, 1:]).max() / scale < 0.05
+
+
 def test_dropped_frames_do_not_stall(clip_and_models):
     """A live source that stops delivering frames keeps emitting audio
     (repeat-last-frame substitution after frame_patience_s) instead of

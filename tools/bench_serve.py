@@ -40,6 +40,9 @@ def main():
     p.add_argument("--video", action="store_true",
                    help="use the flagship audio+RGB bench model and push "
                         "one 224x448 frame per session per tick")
+    p.add_argument("--i420", action="store_true",
+                   help="push frames as raw 4:2:0 planes (half the bytes; "
+                        "the form live YUV sources produce)")
     args = p.parse_args()
     if args.model is None:
         args.model = os.path.join(
@@ -64,6 +67,10 @@ def main():
     hw = tuple(b.cfg.frame_hw)
     frames = (rng.randint(0, 255, (args.capacity,) + hw + (3,), np.uint8)
               if needs_video else None)
+    if needs_video and args.i420:
+        from spatialaudiogen_tpu.deploy.deploy import host_rgb_to_i420
+
+        frames = np.stack([host_rgb_to_i420(f[None])[0] for f in frames])
 
     def frame_of(i):
         # fresh-ish content per tick without a decode in the timed loop:

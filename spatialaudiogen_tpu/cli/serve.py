@@ -41,6 +41,10 @@ def main(argv=None) -> None:
                              "as-fast-as-possible.")
     parser.add_argument("--compute_dtype", default=None,
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--n_data", type=int, default=None,
+                        help="Shard the batched tick over N chips (mesh "
+                             "data axis); multi-session mode only. Session "
+                             "count must divide by N.")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -127,8 +131,13 @@ def _serve_batched(args, inputs: list, outputs: list) -> None:
     from spatialaudiogen_tpu.deploy.stream import StreamBatcher
     from spatialaudiogen_tpu.utils.io_audio import load_wav, save_wav
 
+    mesh = None
+    if args.n_data and args.n_data > 1:
+        from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data, n_model=1)
     batcher = StreamBatcher(args.model_dir, capacity=len(inputs),
-                            compute_dtype=args.compute_dtype)
+                            compute_dtype=args.compute_dtype, mesh=mesh)
     rate = batcher.cfg.audio_rate
     block = batcher.geometry.snd_dur
 

@@ -320,11 +320,12 @@ class StreamBatcher:
     """
 
     def __init__(self, model_dir: str, capacity: int = 16,
-                 compute_dtype: str | None = None, f16_fetch: bool = True):
+                 compute_dtype: str | None = None, f16_fetch: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
-        self.engine = MonoToAmbix(model_dir, batch_size=capacity,
+        self.engine = MonoToAmbix(model_dir, batch_size=capacity, mesh=mesh,
                                   compute_dtype=compute_dtype,
                                   yuv_frames=False, f16_fetch=f16_fetch)
         self.cfg = self.engine.cfg
@@ -338,7 +339,27 @@ class StreamBatcher:
         self._consumed: dict[int, int] = {}  # absolute sample index shipped
         self._next_sid = 0
         self._free_lanes = list(range(capacity))
-        self._buf = jnp.zeros((capacity, g.snd_size), jnp.float32)
+        # multi-chip serving: with a ('data','model') mesh the lane axis of
+        # the rolling buffer — and every per-tick batch input/output —
+        # shards over the data axis, so `capacity` sessions spread across
+        # chips with the per-tick H2D/D2H split the same way. Audio-only
+        # lanes are mathematically independent, so sharding adds zero
+        # collectives; video models all-reduce the batch-stats BatchNorm
+        # moments exactly like the sharded batch deploy does.
+        self.mesh = mesh
+        bshd = rshd = None
+        if mesh is not None:
+            from spatialaudiogen_tpu.parallel.mesh import (
+                DATA_AXIS, batch_sharding, replicated)
+
+            n_data = mesh.shape[DATA_AXIS]
+            assert capacity % n_data == 0, \
+                f"capacity {capacity} must divide over data axis {n_data}"
+            bshd, rshd = batch_sharding(mesh), replicated(mesh)
+            self._buf = jax.device_put(
+                np.zeros((capacity, g.snd_size), np.float32), bshd)
+        else:
+            self._buf = jnp.zeros((capacity, g.snd_size), jnp.float32)
 
         snd_dur, snd_size = g.snd_dur, g.snd_size
         fwd = self.engine.fwd
@@ -346,7 +367,12 @@ class StreamBatcher:
         def set_lane(buf, lane, window):
             return jax.lax.dynamic_update_slice(buf, window[None], (lane, 0))
 
-        self._set_lane = jax.jit(set_lane, donate_argnums=(0,))
+        if mesh is None:
+            self._set_lane = jax.jit(set_lane, donate_argnums=(0,))
+        else:
+            self._set_lane = jax.jit(set_lane, donate_argnums=(0,),
+                                     in_shardings=(bshd, rshd, rshd),
+                                     out_shardings=bshd)
 
         def tick_fn(state, buf, chunk, do_shift, valid, video_u8):
             """Roll emitting lanes by snd_dur and run the batched forward.
@@ -378,7 +404,16 @@ class StreamBatcher:
                 out = out.astype(jnp.float16)
             return new_buf, out
 
-        self._tick_fn = jax.jit(tick_fn, donate_argnums=(1,))
+        if mesh is None:
+            self._tick_fn = jax.jit(tick_fn, donate_argnums=(1,))
+        else:
+            # state replicated (the engine already placed it), every batch
+            # input/output sharded over the data axis; sharding specs are
+            # prefix-broadcast over video_u8=None for audio-only models
+            self._tick_fn = jax.jit(
+                tick_fn, donate_argnums=(1,),
+                in_shardings=(rshd, bshd, bshd, bshd, bshd, bshd),
+                out_shardings=(bshd, bshd))
 
     # --- session management -------------------------------------------
     def add_session(self) -> int:

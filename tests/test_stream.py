@@ -359,6 +359,44 @@ def test_stream_batcher_video_matches_batch_semantics(clip_and_models):
     np.testing.assert_array_equal(np.concatenate(got), np.concatenate(ref))
 
 
+def test_stream_batcher_mesh_sharded_matches_single_device(clip_and_models):
+    """Multi-chip serving: a StreamBatcher over a ('data','model') mesh
+    shards the lane axis (rolling buffer, per-tick inputs and outputs)
+    across the data axis; emitted chunks must match the single-device
+    batcher. f32 fetch and float tolerance, same rationale as
+    test_deploy_mesh_sharded_matches_single_chip: different shardings
+    reorder per-lane reductions ~1e-6. Covers an audio-only batcher (lanes
+    independent: sharding adds zero collectives) and a video batcher (the
+    batch-stats BatchNorm moments all-reduce across chips)."""
+    from spatialaudiogen_tpu.deploy.stream import StreamBatcher
+    from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+    clip, models = clip_and_models
+    mono = _mono_of(clip, 2.6)
+    signals = [np.roll(mono, -off) for off in (0, 5000, 48000, 17)]
+    frames = _frames_of(clip, 26)
+
+    for name, n_frames in (("audio", 0), ("av", 1)):
+        outs = []
+        for mesh in (None, make_mesh(n_data=4, n_model=1)):
+            b = StreamBatcher(models[name], capacity=4, f16_fetch=False,
+                              mesh=mesh)
+            sids = [b.add_session() for _ in range(4)]
+            got = {sid: [] for sid in sids}
+            block = b.geometry.snd_dur
+            for k in range(0, len(mono) - block + 1, block):
+                for i, sid in enumerate(sids):
+                    frame = frames[k // block] if n_frames else None
+                    b.push(sid, signals[i][k: k + block], frame)
+                for sid, chunks in b.tick().items():
+                    got[sid].extend(chunks)
+            assert all(len(v) >= 5 for v in got.values())
+            outs.append([np.concatenate(got[sid], 0) for sid in sids])
+        for a, c in zip(*outs):
+            np.testing.assert_array_equal(a[:, 0], c[:, 0])  # mono: host-side
+            np.testing.assert_allclose(a, c, atol=1e-5, err_msg=name)
+
+
 def test_congestion_stall_catch_up_semantics(clip_and_models):
     """Defined congestion policy, pinned: a stalled device delays but never
     drops. While the device is stalled, pushed samples accumulate in the

@@ -40,6 +40,8 @@ def main():
     p.add_argument("--video", action="store_true",
                    help="use the flagship audio+RGB bench model and push "
                         "one 224x448 frame per session per tick")
+    p.add_argument("--n_data", type=int, default=None,
+                   help="shard the tick over N chips (mesh data axis)")
     p.add_argument("--i420", action="store_true",
                    help="push frames as raw 4:2:0 planes (half the bytes; "
                         "the form live YUV sources produce)")
@@ -58,7 +60,12 @@ def main():
 
     assert os.path.isdir(args.model), \
         f"{args.model} missing - run bench.py once to create it"
-    b = StreamBatcher(args.model, capacity=args.capacity)
+    mesh = None
+    if args.n_data and args.n_data > 1:
+        from spatialaudiogen_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.n_data, n_model=1)
+    b = StreamBatcher(args.model, capacity=args.capacity, mesh=mesh)
     sids = [b.add_session() for _ in range(args.capacity)]
     rng = np.random.RandomState(0)
     signals = rng.randn(args.capacity, int(48000 * (args.seconds + 1.2))) \

@@ -36,6 +36,10 @@ def main(argv=None) -> None:
     parser.add_argument("output_wav")
     parser.add_argument("--frames_dir", default=None,
                         help="10 fps jpg frames dir (video models).")
+    parser.add_argument("--flow_dir", default=None,
+                        help="10 fps compressed-flow jpg dir incl. "
+                             "flow_limits.npy (flow models; single-session "
+                             "serving only).")
     parser.add_argument("--realtime", action="store_true",
                         help="Pace pushes at wall-clock rate instead of "
                              "as-fast-as-possible.")
@@ -81,6 +85,18 @@ def main(argv=None) -> None:
                                         rate=VideoFrameReader.RAW_RATE,
                                         img_prep=lambda x: x)
 
+    flow_reader = None
+    if "flow" in stream.cfg.encoders:
+        assert args.flow_dir, "flow model: pass --flow_dir"
+        import os
+
+        from spatialaudiogen_tpu.data.readers import (FlowFrameReader,
+                                                       VideoFrameReader)
+
+        flow_reader = FlowFrameReader(
+            args.flow_dir, os.path.join(args.flow_dir, "flow_limits.npy"),
+            rate=VideoFrameReader.RAW_RATE)
+
     chunks, lat = [], []
     t_start = time.perf_counter()
     for k in range(0, len(mono), block):
@@ -92,11 +108,13 @@ def main(argv=None) -> None:
             delay = target - time.perf_counter()
             if delay > 0:
                 time.sleep(delay)
-        frame = None
+        frame = flow = None
         if frame_reader is not None:
             frame = frame_reader.get_by_index((k // block) / 10.0, 1)[0]
+        if flow_reader is not None:
+            flow = flow_reader.get_by_index((k // block) / 10.0, 1)[0]
         t0 = time.perf_counter()
-        out = stream.push(mono[k: k + block], frame)
+        out = stream.push(mono[k: k + block], frame, flow)
         if out:
             lat.append(time.perf_counter() - t0)
             chunks.extend(out)

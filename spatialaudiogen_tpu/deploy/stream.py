@@ -50,9 +50,7 @@ class _SessionState:
         rate = cfg.audio_rate
         g = geometry
         self._needs_video = "video" in cfg.encoders
-        assert "flow" not in cfg.encoders, \
-            "streaming flow input is not wired up (push precomputed flow " \
-            "frames is a straightforward extension)"
+        self._needs_flow = "flow" in cfg.encoders
         # window k emits [t_k, t_k + duration), t_k = context/2 + k*duration
         self._chunk_t = lambda k: cfg.context / 2.0 + k * g.snd_dur / rate
         self._buf = np.zeros((0,), np.float32)   # mono samples
@@ -61,6 +59,10 @@ class _SessionState:
         self._pushed_real = 0                    # caller-pushed samples only
         self._frames: dict[int, np.ndarray] = {}
         self._frames_pushed = 0
+        # flow frames stream at the same 10 fps cadence as video frames and
+        # share the pairing/substitution policy
+        self._flows: dict[int, np.ndarray] = {}
+        self._flows_pushed = 0
         self.next_window = 0
         # live sources drop frames: once the audio runs `frame_patience_s`
         # past a missing frame's due time, the latest available frame is
@@ -70,23 +72,41 @@ class _SessionState:
         self.frames_substituted = 0
 
     # --- input side ---------------------------------------------------
-    def push(self, samples: np.ndarray | None, frame: np.ndarray | None):
+    def push(self, samples: np.ndarray | None, frame: np.ndarray | None,
+             flow: np.ndarray | None = None):
         if samples is not None and len(samples) > 0:
             s = np.asarray(samples, np.float32).reshape(-1)
             self._buf = np.concatenate([self._buf, s])
             self._pushed += len(s)
             self._pushed_real += len(s)
         if frame is not None:
-            assert self._needs_video, "audio-only model given a frame"
+            assert self._needs_video, "model without video encoder given a frame"
             assert frame.dtype == np.uint8, "frames stream as uint8"
             # (H, W, 3) RGB or (H*3/2, W) raw I420 planes — the device fn
-            # picks the branch by rank; a session must not mix the two
+            # picks the branch by rank; a session must not mix the two.
+            # Flow configs assemble windows on host (the host-assembly
+            # forward, like batch deploy's flow path): RGB only.
             assert frame.ndim in (2, 3), frame.shape
+            assert frame.ndim == 3 or not self._needs_flow, \
+                "flow configs take RGB frames (host assembly), not I420"
             if self._frames:
                 assert frame.ndim == next(iter(self._frames.values())).ndim, \
                     "mixed RGB/I420 frames within one session"
             self._frames[self._frames_pushed] = frame
             self._frames_pushed += 1
+        if flow is not None:
+            assert self._needs_flow, "model without flow encoder given flow"
+            # (H, W, 3) float (dx, dy, mag) as the model consumes it
+            # (FlowFrameReader semantics, reference feeder.py:147-161) — or
+            # (H, W, 2) raw (dx, dy) from a live flow estimator, the
+            # magnitude channel derived here
+            f = np.asarray(flow, np.float32)
+            assert f.ndim == 3 and f.shape[-1] in (2, 3), f.shape
+            if f.shape[-1] == 2:
+                f = np.concatenate(
+                    [f, np.hypot(f[..., :1], f[..., 1:2])], axis=-1)
+            self._flows[self._flows_pushed] = f
+            self._flows_pushed += 1
 
     # --- window readiness ----------------------------------------------
     def start_sample(self, k: int) -> int:
@@ -96,17 +116,23 @@ class _SessionState:
         g = self.geometry
         if self._pushed < self.start_sample(k) + g.snd_size:
             return False
-        if self._needs_video:
+        for store in self._frame_stores():
             for i in self._frame_indices(k):
-                if i in self._frames:
+                if i in store:
                     continue
                 # frame i is due at audio time i/10 s; substitute once the
                 # audio cadence has run frame_patience_s past it (liveness
                 # over exactness for dropped frames), else wait
                 due = (i / FRAMES_FPS + self.frame_patience_s) * self.cfg.audio_rate
-                if self._pushed < due or not self._frames:
+                if self._pushed < due or not store:
                     return False
         return True
+
+    def _frame_stores(self) -> list:
+        """The per-modality 10 fps frame dicts this config streams (video
+        and/or flow) — readiness, substitution and gc treat them alike."""
+        return ([self._frames] if self._needs_video else []) + \
+               ([self._flows] if self._needs_flow else [])
 
     def next_ready(self) -> bool:
         return self.window_ready(self.next_window)
@@ -139,12 +165,22 @@ class _SessionState:
         (None for audio-only) — whichever form the session pushes."""
         if not self._needs_video:
             return None
+        return self._stack_window(self._frames, k)
+
+    def window_flow(self, k: int) -> np.ndarray | None:
+        """(T, H, W, 3) float32 (dx, dy, mag) flow of window k (None unless
+        the config has a flow encoder)."""
+        if not self._needs_flow:
+            return None
+        return self._stack_window(self._flows, k)
+
+    def _stack_window(self, store: dict, k: int) -> np.ndarray:
         frames = []
         for i in self._frame_indices(k):
-            if i not in self._frames:  # dropped frame: repeat the latest
+            if i not in store:  # dropped frame: repeat the latest
                 self.frames_substituted += 1
-                i = max(self._frames)
-            frames.append(self._frames[i])
+                i = max(store)
+            frames.append(store[i])
         return np.stack(frames, 0)
 
     def advance(self):
@@ -169,6 +205,9 @@ class _SessionState:
         if self._needs_video and self._frames:
             self._frames[self._frames_pushed] = self._frames[max(self._frames)]
             self._frames_pushed += 1
+        if self._needs_flow and self._flows:
+            self._flows[self._flows_pushed] = self._flows[max(self._flows)]
+            self._flows_pushed += 1
 
     def _gc(self):
         """Drop consumed history: samples/frames earlier than the next
@@ -179,14 +218,16 @@ class _SessionState:
         if drop > 4 * g.snd_size:  # amortize the copy
             self._buf = self._buf[drop:].copy()
             self._buf_start += drop
-        if self._needs_video and self._frames:
+        for store in self._frame_stores():
+            if not store:
+                continue
             # keep the newest frame even when it is older than the next
             # window's range: it is the substitution source for dropped
             # frames (a gc that removed it would stall the stream)
             first_needed = min(self._frame_indices(self.next_window)[0],
-                               max(self._frames))
-            for i in [i for i in self._frames if i < first_needed]:
-                del self._frames[i]
+                               max(store))
+            for i in [i for i in store if i < first_needed]:
+                del store[i]
 
 
 class StreamingMonoToAmbix:
@@ -231,9 +272,10 @@ class StreamingMonoToAmbix:
         self._session.frame_patience_s = v
 
     def push(self, samples: np.ndarray | None = None,
-             frame: np.ndarray | None = None) -> list:
-        """Feed new mono samples and/or one video frame; returns the list of
-        (snd_dur, num_ambi_channels) float32 FOA chunks that became
+             frame: np.ndarray | None = None,
+             flow: np.ndarray | None = None) -> list:
+        """Feed new mono samples and/or one video/flow frame; returns the
+        list of (snd_dur, num_ambi_channels) float32 FOA chunks that became
         computable (possibly empty, possibly several after a large block).
 
         samples: 1-D float32 mono (any length, including 0).
@@ -241,8 +283,13 @@ class StreamingMonoToAmbix:
         the frame transport for sources that natively produce 4:2:0 — at
         the training resolution; push one per 0.1 s of audio (the 10 fps
         frames-layout rate), starting at t=0.
+        flow (flow-encoder configs): (H, W, 3) float32 (dx, dy, mag) as the
+        model consumes it, or (H, W, 2) raw (dx, dy) from a live flow
+        estimator (magnitude derived); same 10 fps cadence as frames. Flow
+        configs run the host-assembly forward — the same executable as
+        batch deploy's flow path (deploy.py _predict_span_host).
         """
-        self._session.push(samples, frame)
+        self._session.push(samples, frame, flow)
         return self._drain()
 
     def _drain(self) -> list:
@@ -257,6 +304,22 @@ class StreamingMonoToAmbix:
 
         g = self.geometry
         s = self._session
+        if s._needs_flow:
+            # flow configs mirror batch deploy's host-assembly route
+            # (deploy.py _predict_span_host): per-window float arrays into
+            # engine.fwd — the SAME jitted executable, so the emitted
+            # stream is bit-identical to MonoToAmbix(batch_size=1).deploy()
+            audio = s.window_samples(k).astype(np.float32)[None, :, None]
+            video = s.window_frames(k)
+            if video is not None:
+                # img_prep_default in f64 then the assemble-time f32 cast,
+                # exactly as the host batch path computes it
+                video = (video / 255.0 - 0.5).astype(np.float32)[None]
+            flow = s.window_flow(k)[None]
+            out = np.asarray(self.engine.fwd(self.engine.state, audio,
+                                             video, flow))
+            pred = out.astype(np.float32).reshape(g.snd_dur, -1)
+            return np.concatenate([s.window_mono(k), pred], axis=1)
         span = np.zeros((self._span_len, 1), np.float32)
         span[: g.snd_size, 0] = s.window_samples(k)
         rel = np.zeros((1,), np.int32)
@@ -280,6 +343,8 @@ class StreamingMonoToAmbix:
         s = self._session
         assert not (s.flush_pending() and s._needs_video and not s._frames), \
             "flush() of a video model needs at least one pushed frame"
+        assert not (s.flush_pending() and s._needs_flow and not s._flows), \
+            "flush() of a flow model needs at least one pushed flow frame"
         out = []
         while s.flush_pending():
             s.pad_for_flush()
@@ -333,6 +398,10 @@ class StreamBatcher:
         self.capacity = capacity
         g = self.geometry
         self._needs_video = "video" in self.cfg.encoders
+        assert "flow" not in self.cfg.encoders, \
+            "batched serving of flow configs is not wired (flow windows " \
+            "are float host-assembled arrays, deploy.py " \
+            "_predict_span_host); serve them via StreamingMonoToAmbix"
         self._sessions: dict[int, _SessionState] = {}
         self._lane_of: dict[int, int] = {}
         self._warm: dict[int, bool] = {}   # lane buffer holds a valid window

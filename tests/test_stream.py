@@ -90,6 +90,57 @@ def test_stream_matches_batch_deploy_video(clip_and_models):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_stream_matches_batch_deploy_flow(tmp_path):
+    """Flow configs stream through the host-assembly forward: the emitted
+    stream is bit-identical to MonoToAmbix(batch_size=1).deploy() over the
+    same samples (same jitted engine.fwd executable, same per-window float
+    arrays as deploy.py _predict_span_host assembles). Flow frames push at
+    the 10 fps cadence as (H, W, 3) float (dx, dy, mag); an (H, W, 2) raw
+    (dx, dy) push derives the magnitude channel."""
+    import os
+
+    from spatialaudiogen_tpu.data.readers import (FlowFrameReader,
+                                                   VideoFrameReader)
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+    from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
+
+    root = str(tmp_path / "db")
+    ids = make_synthetic_dataset(root, n_videos=1, duration=4.0,
+                                 frame_hw=(64, 128), with_flow=True, seed=11)
+    model_dir = str(tmp_path / "model")
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir,
+                      encoders=("audio", "flow"), separation="none",
+                      n_iters=2, batch_size=2, n_workers=2,
+                      frame_hw=(64, 128), log_every=10, ckpt_every=0,
+                      n_data=1, seed=0)
+    Trainer(cfg).train()
+    clip = os.path.join(root, ids[0])
+
+    duration = 1.0
+    ref = MonoToAmbix(model_dir, batch_size=1).deploy(clip, 0.5, duration)
+
+    stream = StreamingMonoToAmbix(model_dir)
+    mono = _mono_of(clip, 0.5 + duration + 1.2)
+    reader = FlowFrameReader(clip + "/flow",
+                             os.path.join(clip, "flow", "flow_limits.npy"),
+                             rate=VideoFrameReader.RAW_RATE)
+    block = 4800
+    chunks = []
+    flow = None
+    for k in range(0, len(mono), block):
+        flow = reader.get_by_index((k // block) / 10.0, 1)[0]
+        chunks += stream.push(mono[k: k + block], flow=flow)
+    got = np.concatenate(chunks, axis=0)[: ref.shape[0]]
+    np.testing.assert_array_equal(got, ref)
+
+    # raw (dx, dy) pushes derive the magnitude channel
+    s = StreamingMonoToAmbix(model_dir)
+    s.push(None, flow=flow[..., :2])
+    f = s._session._flows[0]
+    np.testing.assert_allclose(f[..., 2], np.hypot(f[..., 0], f[..., 1]),
+                               rtol=1e-6)
+
+
 def test_stream_memory_bounded(clip_and_models):
     from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
 

@@ -67,9 +67,17 @@ class _SessionState:
         # live sources drop frames: once the audio runs `frame_patience_s`
         # past a missing frame's due time, the latest available frame is
         # substituted (the standard repeat-last-frame policy) instead of
-        # stalling the stream forever; `frames_substituted` counts it.
+        # stalling the stream forever; substitutions are counted per
+        # modality (video/flow) so a video+flow session's monitoring can
+        # tell which stream dropped; `frames_substituted` is the aggregate.
         self.frame_patience_s = 0.3
-        self.frames_substituted = 0
+        self.video_frames_substituted = 0
+        self.flow_frames_substituted = 0
+
+    @property
+    def frames_substituted(self) -> int:
+        """Total substitutions across modalities (back-compat aggregate)."""
+        return self.video_frames_substituted + self.flow_frames_substituted
 
     # --- input side ---------------------------------------------------
     def push(self, samples: np.ndarray | None, frame: np.ndarray | None,
@@ -175,10 +183,12 @@ class _SessionState:
         return self._stack_window(self._flows, k)
 
     def _stack_window(self, store: dict, k: int) -> np.ndarray:
+        counter = ("video_frames_substituted" if store is self._frames
+                   else "flow_frames_substituted")
         frames = []
         for i in self._frame_indices(k):
             if i not in store:  # dropped frame: repeat the latest
-                self.frames_substituted += 1
+                setattr(self, counter, getattr(self, counter) + 1)
                 i = max(store)
             frames.append(store[i])
         return np.stack(frames, 0)
@@ -248,6 +258,12 @@ class StreamingMonoToAmbix:
 
     def __init__(self, model_dir: str, compute_dtype: str | None = None,
                  f16_fetch: bool = True):
+        # f16_fetch halves the prediction D2H bytes (see MonoToAmbix).
+        # Flow-encoder configs ignore it: their windows run the
+        # host-assembly forward (engine.fwd), which — exactly like batch
+        # deploy's flow route (_predict_span_host) — always fetches f32;
+        # that shared f32 path is what makes the flow stream bit-identical
+        # to MonoToAmbix(batch_size=1).deploy().
         self.engine = MonoToAmbix(model_dir, batch_size=1,
                                   compute_dtype=compute_dtype,
                                   yuv_frames=False, f16_fetch=f16_fetch)
@@ -262,6 +278,14 @@ class StreamingMonoToAmbix:
     @property
     def frames_substituted(self) -> int:
         return self._session.frames_substituted
+
+    @property
+    def video_frames_substituted(self) -> int:
+        return self._session.video_frames_substituted
+
+    @property
+    def flow_frames_substituted(self) -> int:
+        return self._session.flow_frames_substituted
 
     @property
     def frame_patience_s(self) -> float:
@@ -312,9 +336,11 @@ class StreamingMonoToAmbix:
             audio = s.window_samples(k).astype(np.float32)[None, :, None]
             video = s.window_frames(k)
             if video is not None:
-                # img_prep_default in f64 then the assemble-time f32 cast,
-                # exactly as the host batch path computes it
-                video = (video / 255.0 - 0.5).astype(np.float32)[None]
+                # img_prep_default's f32 arithmetic (readers.py): cast to
+                # f32 FIRST, then /255 - 0.5 — bit-identical to the host
+                # batch path (f64-then-cast differs by 1 ulp for pixel
+                # values 64-191)
+                video = (video.astype(np.float32) / 255.0 - 0.5)[None]
             flow = s.window_flow(k)[None]
             out = np.asarray(self.engine.fwd(self.engine.state, audio,
                                              video, flow))

@@ -141,6 +141,53 @@ def test_stream_matches_batch_deploy_flow(tmp_path):
                                rtol=1e-6)
 
 
+def test_stream_matches_batch_deploy_video_flow(tmp_path):
+    """Video+flow configs: the host-assembly stream path normalizes RGB
+    frames with img_prep_default's f32 arithmetic (f64-then-cast differs
+    by 1 ulp for pixels 64-191, which would break bit-parity), so the
+    emitted stream stays bit-identical to the batch-1 deploy."""
+    import os
+
+    from spatialaudiogen_tpu.data.readers import (FlowFrameReader,
+                                                   VideoFrameReader)
+    from spatialaudiogen_tpu.deploy.deploy import MonoToAmbix
+    from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
+
+    root = str(tmp_path / "db")
+    ids = make_synthetic_dataset(root, n_videos=1, duration=4.0,
+                                 frame_hw=(64, 128), with_flow=True, seed=12)
+    model_dir = str(tmp_path / "model")
+    cfg = TrainConfig(db_dir=root, model_dir=model_dir,
+                      encoders=("audio", "video", "flow"), separation="none",
+                      n_iters=2, batch_size=2, n_workers=2,
+                      frame_hw=(64, 128), log_every=10, ckpt_every=0,
+                      n_data=1, seed=0)
+    Trainer(cfg).train()
+    clip = os.path.join(root, ids[0])
+
+    duration = 1.0
+    ref = MonoToAmbix(model_dir, batch_size=1).deploy(clip, 0.5, duration)
+
+    stream = StreamingMonoToAmbix(model_dir)
+    mono = _mono_of(clip, 0.5 + duration + 1.2)
+    frames = _frames_of(clip, int(np.ceil(len(mono) / 4800)))
+    reader = FlowFrameReader(clip + "/flow",
+                             os.path.join(clip, "flow", "flow_limits.npy"),
+                             rate=VideoFrameReader.RAW_RATE)
+    block = 4800
+    chunks = []
+    for k in range(0, len(mono), block):
+        i = k // block
+        frame = frames[i] if i < len(frames) else None
+        flow = reader.get_by_index(i / 10.0, 1)[0]
+        chunks += stream.push(mono[k: k + block], frame, flow=flow)
+    got = np.concatenate(chunks, axis=0)[: ref.shape[0]]
+    np.testing.assert_array_equal(got, ref)
+    # substitution counters are per-modality (none dropped here)
+    assert stream.video_frames_substituted == 0
+    assert stream.flow_frames_substituted == 0
+
+
 def test_stream_memory_bounded(clip_and_models):
     from spatialaudiogen_tpu.deploy.stream import StreamingMonoToAmbix
 

@@ -116,10 +116,26 @@ class SourceBinauralizer:
 
 
 class AmbisonicBinauralizer:
-    """Decode ambisonics to speakers, then binauralize the speaker feeds."""
+    """Decode ambisonics to speakers, then binauralize the speaker feeds.
+
+    use_hrtfs with NO cipic_dir falls back to the embedded spherical-head
+    decode filters (ambisonics/binaural_filters.py) — the reference's
+    analogue is the vendored Google symmetric-ambisonic-binaural-decoder
+    wav set (3rd-party/spatial-media/spatial-audio/), which gave HRTF
+    binauralization without user-supplied data; here the filter set is
+    derived rather than shipped.
+    """
 
     def __init__(self, ambi_format: AmbiFormat, method: str = "projection",
                  use_hrtfs: bool = False, cipic_dir: str | None = None):
+        self._filter_bin = None
+        if use_hrtfs and cipic_dir is None:
+            from spatialaudiogen_tpu.ambisonics.binaural_filters import (
+                AmbisonicFilterBinauralizer)
+
+            self._filter_bin = AmbisonicFilterBinauralizer(ambi_format)
+            self.fmt = ambi_format
+            return
         self.source_bin = SourceBinauralizer(use_hrtfs=use_hrtfs, cipic_dir=cipic_dir)
         self.fmt = ambi_format
         self.method = method
@@ -138,6 +154,8 @@ class AmbisonicBinauralizer:
         self.ambi_decoder = AmbiDecoder(self.speaker_pos, self.fmt, method=method)
 
     def binauralize(self, ambi: np.ndarray) -> np.ndarray:
+        if self._filter_bin is not None:
+            return self._filter_bin.binauralize(ambi)
         speakers = self.ambi_decoder.decode(ambi)
         sources = [PositionalSource(speakers[:, i], self.speaker_pos[i], self.fmt.sample_rate)
                    for i in range(self.n_speakers)]

@@ -131,6 +131,54 @@ def test_convolvotron_frame_matches_batch(cipic_dir):
         np.testing.assert_allclose(frame[t], batch[t], atol=1e-10)
 
 
+def _write_pcm16_wav_bytes(path: str, int16_frames: np.ndarray, rate: int):
+    """Write a multi-channel PCM16 RIFF from first principles — raw
+    struct.pack bytes, deliberately independent of utils.io_audio.save_wav,
+    so the loader's on-disk contract is pinned against the wav SPEC (the
+    layout real CIPIC per-azimuth files use, reference hrir.py:10-41) and
+    not against this repo's own writer."""
+    import struct
+
+    n_frames, n_channels = int16_frames.shape
+    payload = int16_frames.astype("<i2").tobytes()  # frame-interleaved
+    block_align = n_channels * 2
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels, rate,
+                                      rate * block_align, block_align, 16))
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_reference_layout_bytes_contract(tmp_path):
+    """A CIPIC directory built from hand-written PCM16 RIFF bytes (the real
+    database's column-file layout: one wav per azimuth and ear, channels =
+    the 50 elevations, rows = time-reversed taps) loads correctly through
+    CipicHRIR — azimuth stem naming ('neg80az...'), channel->elevation
+    mapping, the time flip, and the int16/32768 decode."""
+    d = tmp_path / "cipic_bytes"
+    d.mkdir()
+    n_el = len(CIPIC_ELEVATIONS)
+    for i, az in enumerate(CIPIC_AZIMUTHS):
+        stem = ("neg" if az < 0 else "") + str(abs(az))
+        for ear, name in ((0, "left"), (1, "right")):
+            frames = np.zeros((N_TAPS, n_el), np.int16)
+            for j in range(n_el):
+                # integer codes decode EXACTLY as k/32768 (io_audio PCM16
+                # convention); row N-1-j surfaces at tap j after the flip
+                frames[N_TAPS - 1 - j, j] = (i * 64 + j + 1) * (1, -1)[ear]
+            _write_pcm16_wav_bytes(str(d / f"{stem}az{name}.wav"), frames, RATE)
+    db = CipicHRIR(str(d))
+    assert db.left_hrir.shape == (N_TAPS, 23, 50)
+    for (i, j) in [(0, 0), (11, 8), (22, 49), (7, 31)]:
+        assert db.left_hrir[j, i, j] == (i * 64 + j + 1) / 32768.0
+        assert db.right_hrir[j, i, j] == -(i * 64 + j + 1) / 32768.0
+        assert np.count_nonzero(db.left_hrir[:, i, j]) == 1
+    # nearest lookup over the byte-built grid returns the planted column
+    p, left, right = db.get_closest(
+        _grid_direction(CIPIC_AZIMUTHS[11], CIPIC_ELEVATIONS[8]))
+    assert left[8] == (11 * 64 + 8 + 1) / 32768.0
+
+
 def test_source_binauralizer_hrtf_dispatch(cipic_dir):
     sb = SourceBinauralizer(use_hrtfs=True, cipic_dir=cipic_dir)
     rng = np.random.RandomState(2)

@@ -59,6 +59,18 @@ def parse_arguments(argv=None):
                         help="data-parallel mesh size (default: all devices)")
     parser.add_argument("--n_model", type=int, default=1,
                         help="tensor-parallel mesh size")
+    # multi-process (multi-host) runtime: one trainer process per TPU host.
+    # jax.devices() becomes the global device list, each process's feeder
+    # loads a disjoint video shard of the GLOBAL --batch_size, and the
+    # prefetcher assembles global arrays (parallel/distributed.py).
+    parser.add_argument("--coordinator", default=None,
+                        help="coordinator address host:port for multi-"
+                             "process runs (jax.distributed.initialize)")
+    parser.add_argument("--n_processes", type=int, default=None,
+                        help="total number of trainer processes (multi-host);"
+                             " default single-process")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this process's rank in [0, n_processes)")
     parser.add_argument("--bf16", action="store_true",
                         help="run the conv/FC stacks in bfloat16 (f32 master "
                              "weights, f32 DFT/loss/Adam) — the fast mode")
@@ -75,9 +87,12 @@ def parse_arguments(argv=None):
 def main(argv=None):
     args = parse_arguments(argv)
     from spatialaudiogen_tpu.config import TrainConfig
+    from spatialaudiogen_tpu.parallel.distributed import initialize
     from spatialaudiogen_tpu.train.trainer import Trainer
     from spatialaudiogen_tpu.utils.jax_setup import enable_compile_cache
 
+    # must run before any other jax use (device queries bind the backend)
+    initialize(args.coordinator, args.n_processes, args.process_id)
     enable_compile_cache()
 
     # min_t rule from train.py:83-84: the effective video rate covers the

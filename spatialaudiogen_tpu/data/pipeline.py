@@ -282,17 +282,25 @@ class Feeder:
 
 def device_prefetch(batch_iter, sharding=None, depth: int = 2, drop_keys=("id",)):
     """Double-buffered host->device transfer: device_put `depth` batches ahead
-    (replaces the TF queue's CPU->GPU dequeue hop, feeder.py:369-370)."""
+    (replaces the TF queue's CPU->GPU dequeue hop, feeder.py:369-370).
+
+    Multi-process runs (jax.process_count() > 1): each process's feeder
+    yields only its LOCAL shard of the global batch and the transfer
+    assembles the global sharded array via
+    parallel.distributed.global_batch (SURVEY §5: host-local feeding with
+    make_array_from_process_local_data-style sharding)."""
     import collections
 
     import jax
+
+    from spatialaudiogen_tpu.parallel.distributed import global_batch
 
     buf = collections.deque()
 
     def put(batch):
         host_keys = {k: batch[k] for k in drop_keys if k in batch}
         arrays = {k: v for k, v in batch.items() if k not in drop_keys}
-        dev = (jax.device_put(arrays, sharding) if sharding is not None
+        dev = (global_batch(arrays, sharding) if sharding is not None
                else jax.device_put(arrays))
         return dev, host_keys
 

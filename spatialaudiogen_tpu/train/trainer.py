@@ -27,9 +27,34 @@ from spatialaudiogen_tpu.train.steps import jit_sharded, make_train_step
 from spatialaudiogen_tpu.utils.logging import MetricLogger
 
 
+class _NullLogger:
+    """Logger stand-in for non-primary processes: every MetricLogger method
+    is a no-op (only process 0 writes metrics.jsonl / TensorBoard files —
+    peers on a shared filesystem must not race them)."""
+
+    def tick(self, *a, **k): pass
+
+    def log(self, *a, **k): pass
+
+    def log_histograms(self, *a, **k): pass
+
+    def close(self): pass
+
+
 class Trainer:
     def __init__(self, cfg: TrainConfig, mesh=None):
         self.cfg = cfg
+        # multi-process (multi-host) runs: cfg.batch_size is the GLOBAL
+        # batch; each process feeds batch_size/process_count rows from its
+        # disjoint video shard and the prefetcher assembles the global
+        # sharded array (parallel.distributed). Process 0 owns all
+        # non-checkpoint file writes (config, metrics.jsonl, TB) — orbax
+        # checkpointing itself is collective across processes.
+        self.n_processes = jax.process_count()
+        self.is_primary = jax.process_index() == 0
+        assert cfg.batch_size % self.n_processes == 0, \
+            (cfg.batch_size, self.n_processes)
+        local_batch = cfg.batch_size // self.n_processes
         if cfg.resume:
             loaded = TrainConfig.load(cfg.model_dir)
             # architecture/geometry fields come from the stored run
@@ -37,7 +62,8 @@ class Trainer:
                         "video_rate", "context", "sample_dur", "num_sep_tracks",
                         "fft_window", "context_units", "freq_mask_units", "loc_units"):
                 setattr(cfg, key, getattr(loaded, key))
-        cfg.save()
+        if self.is_primary:
+            cfg.save()
 
         self.mesh = mesh if mesh is not None else make_mesh(cfg.n_data, cfg.n_model)
         self.model = SptAudioGen(cfg.model_config())
@@ -53,10 +79,10 @@ class Trainer:
             return_video="video" in cfg.encoders,
             img_prep=img_prep_u8,  # normalize on device (train/steps.py)
             return_flow="flow" in cfg.encoders,
-            batch_size=cfg.batch_size, n_workers=cfg.n_workers,
+            batch_size=local_batch, n_workers=cfg.n_workers,
             for_eval=False, seed=cfg.seed,
             # multi-host: each process feeds a disjoint video shard
-            shard_id=jax.process_index(), num_shards=jax.process_count())
+            shard_id=jax.process_index(), num_shards=self.n_processes)
 
         example = self._example_batch()
         state = create_train_state(self.model, self.tx, jax.random.PRNGKey(cfg.seed),
@@ -89,7 +115,12 @@ class Trainer:
                 make_observe_step(self.model, cfg.weight_decay,
                                   with_ends=cfg.tb_activations),
                 in_shardings=(self.state_shardings, None))
-        state = jax.device_put(state, self.state_shardings)
+        # multi-process shardings span non-addressable devices; put_like
+        # materializes each process's shards from the (identical) host
+        # values. Single-process it is a plain device_put.
+        from spatialaudiogen_tpu.parallel.distributed import put_like
+
+        state = put_like(state, self.state_shardings)
         self.init_step = 0
         if cfg.resume:
             state, step = self.ckpt.restore(state)
@@ -97,7 +128,10 @@ class Trainer:
                 self.init_step = int(step)
                 print(f"Restored checkpoint at step {step}")
         self.state = state
-        self.logger = MetricLogger(cfg.model_dir)
+        # process 0 writes metrics.jsonl/TB; peers keep a no-op logger so
+        # the loop body stays branch-free
+        self.logger = (MetricLogger(cfg.model_dir) if self.is_primary
+                       else _NullLogger())
 
     def _load_pretrained_visual(self, state, npy_path: str):
         """Initialize each visual encoder from a reference-style resnet18.npy
@@ -211,8 +245,9 @@ class Trainer:
                     self.ckpt.save(step, state)
                     print("=" * 60 + "\nCheckpoint save started (async)\n" + "=" * 60)
         finally:
-            print("End of training. Saving model.")
-            cfg.save()
+            if self.is_primary:
+                print("End of training. Saving model.")
+                cfg.save()
             self.ckpt.save(step, state, wait=True)
             self.ckpt.close()
             self.state = state

@@ -45,6 +45,12 @@ def main(argv=None) -> None:
                              "given: OpenCV Farneback on the host, or the "
                              "pyramidal Horn-Schunck solver on the JAX "
                              "device (ops/flow.py).")
+    parser.add_argument("--fb_occlusion", action="store_true",
+                        help="--method tpu only: solve backward flow too "
+                             "and gate occluded pixels' data term off via "
+                             "forward-backward consistency (~2x device "
+                             "work; better local motion under occlusion — "
+                             "measured trade in tests/test_flow_quality.py).")
     parser.add_argument("--overwrite", action="store_true",
                         help="Recompute even if <yid>/flow/ already exists.")
     args = parser.parse_args(argv)
@@ -71,7 +77,8 @@ def main(argv=None) -> None:
                 and not args.overwrite:
             n_skipped += 1
             continue
-        flow_for_frames(video_dir, flow_dir, model=model, method=args.method)
+        flow_for_frames(video_dir, flow_dir, model=model, method=args.method,
+                        fb_occlusion=args.fb_occlusion)
         n_done += 1
         print(f"{yid}: flow done")
     print(f"flow: {n_done} computed, {n_skipped} skipped")

@@ -67,13 +67,19 @@ class ExternalFlowModel:
 
 def flow_for_frames(frames_dir: str, flow_dir: str,
                     model: ExternalFlowModel | None = None,
-                    method: str = "farneback") -> np.ndarray:
+                    method: str = "farneback",
+                    fb_occlusion: bool = False) -> np.ndarray:
     """Compute flow for a video's jpg frames dir and write the compressed
     angle/magnitude jpg + flow_limits.npy layout the feeder reads.
 
     method: "farneback" (OpenCV, host CPU) or "tpu" (pyramidal
     Horn-Schunck on the JAX device, ops/flow.py). Ignored when `model`
     (an external command) is given.
+
+    fb_occlusion (tpu method only): forward-backward consistency masking
+    of occluded pixels' data term (ops/flow.py _occlusion_weight) — ~2x
+    device work; helps content with strong foreground/background parallax,
+    measured trade in tests/test_flow_quality.py.
     """
     from PIL import Image
 
@@ -86,7 +92,7 @@ def flow_for_frames(frames_dir: str, flow_dir: str,
         if method == "tpu":
             from spatialaudiogen_tpu.ops.flow import horn_schunck_flow
 
-            flow = horn_schunck_flow(frames)
+            flow = horn_schunck_flow(frames, fb_occlusion=fb_occlusion)
         else:
             assert method == "farneback", method
             flow = farneback_flow(frames)

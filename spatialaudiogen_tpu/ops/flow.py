@@ -21,7 +21,15 @@ the anti-pattern).
 Like Farneback, this is NOT FlowNet2: models trained on it are not
 weight-compatible with the released flow-encoder checkpoints (documented
 in cli/flow.py). It is a dependency-free, hardware-local default with the
-classical smoothness prior.
+classical smoothness prior. Expected gap to learned flow, stated for the
+record: FlowNet2/RAFT-class models handle large displacements, occlusion
+boundaries and textureless regions that brightness-constancy solvers
+cannot — on Sintel-like content classical methods run 2-10x worse EPE.
+What IS measured here (tests/test_flow_quality.py): 0.09 px EPE on clean
+affine warps, 0.11 px under jpg-q90 + AGC gain/bias + sensor noise
+(photometric normalization below), 2.55/3 px local motion under occlusion
+with --fb_occlusion; plug an external model in via `sag-flow --command`
+for learned flow.
 """
 
 from __future__ import annotations
@@ -117,7 +125,8 @@ def _median3(x):
     return jnp.median(stack, axis=0)
 
 
-def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
+def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int,
+               data_weight=None):
     """Warp-iterate Horn-Schunck at one pyramid level (incremental flow).
 
     The data term is Charbonnier-robust via lagged reweighting: each Jacobi
@@ -137,6 +146,13 @@ def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
     2.46 of 3 px) — the drift the median removes is resampling noise, not
     signal. 5x5 medians cut EPE further (0.053) but start eating the
     blob's local motion (2.20/3); 3x3 is the balanced default.
+
+    data_weight (optional, (B, H, W) in [0, 1]): extra per-pixel data-term
+    weight — 0 turns a pixel's brightness-constancy residual off entirely
+    so the smoothness term inpaints it from neighbours. Used by the
+    forward-backward occlusion pass (_occlusion_weight): occluded pixels
+    have no true correspondence and their residuals otherwise drag the
+    field toward whatever covered them.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -154,6 +170,8 @@ def _hs_refine(i1, i2, u, v, alpha: float, n_warps: int, n_iters: int):
             dvb = _conv3x3(dv, _HS_AVG)
             r = ix * dub + iy * dvb + it
             w = eps / jnp.sqrt(r * r + eps * eps)
+            if data_weight is not None:
+                w = w * data_weight
             t = w * r / (a2 + w * grad2)
             return (dub - ix * t, dvb - iy * t), None
 
@@ -214,6 +232,27 @@ def _affine_init(i1, i2, n_iters: int = 8):
     return u, v
 
 
+def _occlusion_weight(u_f, v_f, u_b, v_b):
+    """Soft forward-backward consistency weight in [0, 1] per pixel.
+
+    For a true correspondence, the backward flow sampled at the forward
+    target cancels the forward flow: F_b(p + F_f(p)) = -F_f(p). Occluded
+    pixels (no correspondence) violate it. The standard Sundaram/Brox
+    gating |F_f + F_b∘F_f|^2 > 0.01(|F_f|^2 + |F_b∘F_f|^2) + 0.5 is
+    applied as a smooth logistic rather than a hard cut so the weight is
+    differentiable and noise near the threshold doesn't flicker.
+    """
+    import jax.numpy as jnp
+
+    ub_w = _warp(u_b, u_f, v_f)
+    vb_w = _warp(v_b, u_f, v_f)
+    diff2 = (u_f + ub_w) ** 2 + (v_f + vb_w) ** 2
+    mag2 = u_f * u_f + v_f * v_f + ub_w * ub_w + vb_w * vb_w
+    thresh = 0.01 * mag2 + 0.5
+    return jnp.where(diff2 <= thresh, 1.0,
+                     jnp.exp(-(diff2 - thresh) / (thresh + 1e-6)))
+
+
 def _upsample_flow(u, v, shape):
     import jax.image
 
@@ -233,7 +272,7 @@ def _n_levels(h: int, w: int, min_size: int = 24) -> int:
 
 def flow_pairs(i1, i2, alpha: float = 0.05, n_warps: int = 3,
                n_iters: int = 60, n_levels: int | None = None,
-               affine_init: bool = True):
+               affine_init: bool = True, fb_occlusion: bool = False):
     """Dense flow for a batch of gray frame pairs.
 
     i1, i2: (B, H, W) float in [0, 1]. Returns (B, H, W, 2) with
@@ -241,8 +280,42 @@ def flow_pairs(i1, i2, alpha: float = 0.05, n_warps: int = 3,
     FlowReader convention, etl/flow.py). `affine_init` seeds the coarsest
     level with a global affine fit (_affine_init) so camera motion is
     carried parametrically and HS solves only the residual.
+
+    fb_occlusion: also solve the BACKWARD flow (stacked into the same
+    batch — one pyramid pass at 2x batch, no second executable), derive a
+    forward-backward consistency weight (_occlusion_weight) and re-refine
+    the finest level with occluded pixels' data term gated off, so the
+    smoothness prior inpaints them from consistent neighbours. ~2x the
+    device work; default off (the ETL flag routes it).
+
+    Photometric normalization: i2's global mean/std are matched to i1's
+    per pair before solving. Brightness constancy is violated by exposure/
+    gain drift between frames (real camera AGC; the hard fixture's 3% gain
+    + 0.01 bias sent HS EPE 0.09 -> 0.30 while Farneback's polynomial
+    expansion shrugged it off); a global affine photometric fit cancels it
+    exactly, is a no-op when frames already match, and costs two
+    reductions. The returned flow is unaffected in the matched case.
     """
     import jax.numpy as jnp
+
+    m1 = jnp.mean(i1, axis=(1, 2), keepdims=True)
+    m2 = jnp.mean(i2, axis=(1, 2), keepdims=True)
+    s1 = jnp.std(i1, axis=(1, 2), keepdims=True)
+    s2 = jnp.std(i2, axis=(1, 2), keepdims=True)
+    i2 = (i2 - m2) * (s1 / jnp.maximum(s2, 1e-6)) + m1
+
+    if fb_occlusion:
+        b = i1.shape[0]
+        flow_both = flow_pairs(jnp.concatenate([i1, i2], axis=0),
+                               jnp.concatenate([i2, i1], axis=0),
+                               alpha, n_warps, n_iters, n_levels,
+                               affine_init, fb_occlusion=False)
+        u_f, v_f = flow_both[:b, ..., 0], flow_both[:b, ..., 1]
+        u_b, v_b = flow_both[b:, ..., 0], flow_both[b:, ..., 1]
+        weight = _occlusion_weight(u_f, v_f, u_b, v_b)
+        u, v = _hs_refine(i1, i2, u_f, v_f, alpha, n_warps=2,
+                          n_iters=max(n_iters // 2, 16), data_weight=weight)
+        return jnp.stack([u, v], axis=-1)
 
     h, w = i1.shape[1], i1.shape[2]
     levels = _n_levels(h, w) if n_levels is None else n_levels
@@ -270,20 +343,22 @@ def flow_pairs(i1, i2, alpha: float = 0.05, n_warps: int = 3,
 
 @functools.lru_cache(maxsize=8)
 def _jitted_flow(alpha: float, n_warps: int, n_iters: int,
-                 affine_init: bool = True):
+                 affine_init: bool = True, fb_occlusion: bool = False):
     """One jit wrapper per hyperparameter set; jax.jit itself caches the
     compiled executable per input shape."""
     import jax
 
     return jax.jit(functools.partial(flow_pairs, alpha=alpha, n_warps=n_warps,
                                      n_iters=n_iters,
-                                     affine_init=affine_init))
+                                     affine_init=affine_init,
+                                     fb_occlusion=fb_occlusion))
 
 
 def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
                       n_warps: int = 3, n_iters: int = 60,
                       pair_batch: int = 16,
-                      affine_init: bool = True) -> np.ndarray:
+                      affine_init: bool = True,
+                      fb_occlusion: bool = False) -> np.ndarray:
     """(T, H, W, 3) uint8/float frames -> (T, H, W, 2) flow (last repeats).
 
     Drop-in twin of etl.flow.farneback_flow with the compute on the JAX
@@ -307,7 +382,7 @@ def horn_schunck_flow(frames: np.ndarray, alpha: float = 0.05,
             @ np.array([0.299, 0.587, 0.114], np.float32))
     if frames.dtype == np.uint8 or gray.max() > 2.0:
         gray = gray / 255.0
-    fn = _jitted_flow(alpha, n_warps, n_iters, affine_init)
+    fn = _jitted_flow(alpha, n_warps, n_iters, affine_init, fb_occlusion)
     out = np.zeros((t, h, w, 2), np.float32)
     for start in range(0, t - 1, pair_batch):
         stop = min(start + pair_batch, t - 1)

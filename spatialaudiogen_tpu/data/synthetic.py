@@ -45,7 +45,7 @@ def _render_frames(phi_per_frame, nu_per_frame, n_frames, hw):
 
 def make_video(root: str, yid: str, duration: float = 4.0, audio_rate: int = 48000,
                video_rate: int = 10, frame_hw=(224, 448), with_flow: bool = False,
-               seed: int = 0):
+               seed: int = 0, ambi_order: int = 1):
     rng = np.random.RandomState(seed)
     folder = os.path.join(root, yid)
     os.makedirs(os.path.join(folder, "ambix"), exist_ok=True)
@@ -60,7 +60,8 @@ def make_video(root: str, yid: str, duration: float = 4.0, audio_rate: int = 480
     nu0, nu1 = rng.uniform(-0.5, 0.5, 2)
     keypoints = [Position(phi0, nu0, 1.0, "polar"), Position(phi1, nu1, 1.0, "polar")]
     src = MovingSource(sig, keypoints, audio_rate)
-    foa = AmbiEncoder(AmbiFormat(order=1, sample_rate=audio_rate)).encode_moving(src).data
+    foa = AmbiEncoder(AmbiFormat(order=ambi_order,
+                                 sample_rate=audio_rate)).encode_moving(src).data
     # Scale so the W channel clears the training silence gate (rms 0.2,
     # feeder thresholds at pipeline.Feeder) without clipping PCM16.
     w_rms = np.sqrt((foa[:, 0] ** 2).mean())
@@ -106,12 +107,12 @@ def make_video(root: str, yid: str, duration: float = 4.0, audio_rate: int = 480
 def make_synthetic_dataset(root: str, n_videos: int = 2, duration: float = 4.0,
                            audio_rate: int = 48000, video_rate: int = 10,
                            frame_hw=(224, 448), with_flow: bool = False,
-                           seed: int = 0):
+                           seed: int = 0, ambi_order: int = 1):
     os.makedirs(root, exist_ok=True)
     ids = []
     for v in range(n_videos):
         yid = f"synth{v:03d}"
         make_video(root, yid, duration, audio_rate, video_rate, frame_hw,
-                   with_flow, seed=seed + v)
+                   with_flow, seed=seed + v, ambi_order=ambi_order)
         ids.append(yid)
     return ids

@@ -297,8 +297,9 @@ class MonoToAmbix:
                     [ambix, np.zeros((pad,) + ambix.shape[1:], np.float32)], 0)
             video = padded(batch_video) if batch_video else None
             flow = padded(batch_flow) if batch_flow else None
-            mono = ambix[:n, g.nosep_ss: g.nosep_ss + g.snd_dur, :1] \
-                .reshape(n * g.snd_dur, 1).copy()
+            mono = ambix[:n, g.nosep_ss: g.nosep_ss + g.snd_dur,
+                         :g.num_in_channels] \
+                .reshape(n * g.snd_dur, g.num_in_channels).copy()
             out = (n, ambix, video, flow, mono)
             batch_ambix.clear()
             batch_video.clear()
@@ -379,7 +380,8 @@ class MonoToAmbix:
                 frames += [frames[-1]] * (B - n)
                 video_u8 = np.stack(frames, 0)
             mono = np.concatenate(
-                [span[r + g.nosep_ss: r + g.nosep_ss + g.snd_dur, :1]
+                [span[r + g.nosep_ss: r + g.nosep_ss + g.snd_dur,
+                      :g.num_in_channels]
                  for r in rel[:n]], 0)
             # ship PCM16-sourced spans as int16 (exactly invertible on
             # device: wav decode is int16/32768); any span not exactly on
@@ -427,7 +429,7 @@ class MonoToAmbix:
         # host); writing each fetched batch straight into its slice also
         # fuses the f16->f32 widening into the single store
         total = n_windows * g.snd_dur
-        mono_out = np.empty((total, 1), np.float32)
+        mono_out = np.empty((total, g.num_in_channels), np.float32)
         pred_out = np.empty((total, self._n_out), np.float32)
         pred_flat = pred_out.reshape(-1)  # C-contiguous view
         mono_fill = pred_fill = 0
@@ -521,7 +523,11 @@ class MonoToAmbix:
     def deploy(self, input_folder: str, deploy_start: float = 0.0,
                deploy_duration: float | None = 10.0,
                crossfade: bool = False) -> np.ndarray:
-        """Returns (T, 1 + n_out) ambisonics: mono W + predicted channels."""
+        """Returns (T, n_in + n_out) ambisonics: the input passthrough
+        channels (W at order 1; the full lower-order set at order 2+,
+        geometry.num_in_channels) followed by the predicted channels, i.e.
+        a complete order-N ACN layout (reference deploy.py:112-148 emits
+        mono + 3 predicted at its fixed order 1)."""
         g = self.geometry
         self.h2d_stats = {"bytes": 0, "seconds": 0.0, "batches": 0,
                           "d2h_bytes": 0, "fetch_seconds": 0.0}

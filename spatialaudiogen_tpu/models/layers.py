@@ -16,11 +16,14 @@ core usage at model.py:253-256) can opt out of weight decay by name tag.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 from flax.linen.initializers import glorot_uniform, truncated_normal, zeros_init
+from jax import lax
 
 class Dense(nn.Module):
     """fully_connected parity: matmul over the last axis, any input rank."""
@@ -117,8 +120,89 @@ class Conv2D(nn.Module):
         return self.activation(y) if self.activation else y
 
 
+def _deconv_valid_fwd(x, w, s):
+    """VALID transposed conv, out = in*stride + k - stride (core.py:137-140).
+
+    Expressed directly as the lhs-dilated conv `lax.conv_transpose`
+    (transpose_kernel=False) lowers to; for k >= s (all this model's
+    deconvs) the VALID pads are exactly (k-1, k-1)."""
+    k = w.shape[:2]
+    assert k[0] >= s[0] and k[1] >= s[1], (k, s)
+    return lax.conv_general_dilated(
+        x, w, (1, 1), [(k[0] - 1, k[0] - 1), (k[1] - 1, k[1] - 1)],
+        lhs_dilation=s, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def deconv_valid(x, w, s):
+    """`_deconv_valid_fwd` with a reverse-free hand-written VJP.
+
+    XLA's transpose rule for lhs-dilated convs spatially reverses the full
+    output COTANGENT (for the U-Net's last deconv at batch 128 that is a
+    287 MB bf16 tensor, materialized as reverse + two layout copies ≈ 5 ms
+    of the 60 ms train step — tools/roofline.py). The reversal
+    algebraically belongs on the kernel side: dX is a strided VALID conv of
+    ct with the spatially-flipped kernel, and dW is a rhs-dilated conv of
+    ct with x whose (k_h, k_w, ci, co) result is flipped — both flips touch
+    only kernel-sized tensors. Gradients match autodiff to f32
+    reduction-order noise (tests/test_model.py::test_deconv_custom_vjp_matches_stock)."""
+    return _deconv_valid_fwd(x, w, s)
+
+
+def _deconv_valid_vjp_fwd(x, w, s):
+    return _deconv_valid_fwd(x, w, s), (x, w)
+
+
+def _deconv_valid_vjp_bwd(s, res, ct):
+    x, w = res
+    # dX[b,i,ci] = sum_{t,co} ct[b, i*s + (k-1-t), co] * w[t,ci,co]
+    dx = lax.conv_general_dilated(
+        ct, jnp.flip(w, (0, 1)), window_strides=s, padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWOI", "NHWC"))
+    # dW[k-1-q, ci, co] = sum_{b,i} ct[b, q + i*s, co] * x[b,i,ci]
+    #   (conv over ct's spatial dims with x as an s-dilated kernel;
+    #    batch b is the contraction "feature", co the conv "batch")
+    dw = lax.conv_general_dilated(
+        ct, x, window_strides=(1, 1), padding=[(0, 0), (0, 0)],
+        rhs_dilation=s, dimension_numbers=("CHWN", "IHWO", "NHWC"))
+    dw = jnp.flip(jnp.transpose(dw, (1, 2, 3, 0)), (0, 1))
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+deconv_valid.defvjp(_deconv_valid_vjp_fwd, _deconv_valid_vjp_bwd)
+
+
+class _DeconvValidCore(nn.Module):
+    """Param-compatible replacement for flax ConvTranspose(padding=VALID):
+    same param names/shapes/init under the same module name, so checkpoint
+    trees are bit-identical either way."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    use_bias: bool
+    dtype: jnp.dtype | None
+
+    @nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        kernel = self.param("kernel", glorot_uniform(),
+                            k + (x.shape[-1], self.features))
+        bias = (self.param("bias", zeros_init(), (self.features,))
+                if self.use_bias else None)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        y = deconv_valid(x, kernel, tuple(self.strides))
+        return y if bias is None else y + bias
+
+
 class Deconv2D(nn.Module):
-    """deconv_2d parity: VALID transposed conv, out = in*stride + k - stride."""
+    """deconv_2d parity: VALID transposed conv, out = in*stride + k - stride.
+
+    `custom_vjp=True` (default) routes through `deconv_valid`, numerically
+    identical forward to flax ConvTranspose (same lhs-dilated conv) with a
+    hand-written backward that avoids XLA's full-cotangent reverse; False
+    keeps the stock ConvTranspose path (A/B + escape hatch)."""
 
     features: int
     kernel_size: Sequence[int]
@@ -126,13 +210,21 @@ class Deconv2D(nn.Module):
     use_bias: bool = True
     activation: Callable | None = None
     dtype: jnp.dtype | None = None
+    custom_vjp: bool = True
 
     @nn.compact
     def __call__(self, x):
-        y = nn.ConvTranspose(self.features, tuple(self.kernel_size),
-                             strides=tuple(self.strides), padding="VALID",
-                             use_bias=self.use_bias, kernel_init=glorot_uniform(),
-                             bias_init=zeros_init(), dtype=self.dtype, name="deconv")(x)
+        if self.custom_vjp:
+            y = _DeconvValidCore(self.features, tuple(self.kernel_size),
+                                 tuple(self.strides), self.use_bias,
+                                 self.dtype, name="deconv")(x)
+        else:
+            y = nn.ConvTranspose(self.features, tuple(self.kernel_size),
+                                 strides=tuple(self.strides), padding="VALID",
+                                 use_bias=self.use_bias,
+                                 kernel_init=glorot_uniform(),
+                                 bias_init=zeros_init(), dtype=self.dtype,
+                                 name="deconv")(x)
         return self.activation(y) if self.activation else y
 
 

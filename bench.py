@@ -469,8 +469,14 @@ def main():
     # full pass) forced every FORCED_TRY_S as a backstop, because probe and
     # in-stream behavior are correlated, not identical. Exits the moment
     # the bar is met, so healthy runs pay nothing.
-    EXTENSION_WALL_S = 900.0
-    HEALTHY_PROBE_MBPS = 35.0
+    # 1500 s: two same-day rehearsals (BENCH r5 prep) saw one wave cover a
+    # 900 s extension end to end; the extension only runs while the bar is
+    # unmet, so healthy runs still pay nothing. 30 MB/s probe threshold:
+    # the serial model at 30 MB/s both ways ((5.0+14.7)/30 + ~0.2 s fixed
+    # latencies + 0.067 s compute per 51.2 s batch) still predicts ~55x,
+    # so partially-recovered windows are worth a full pass.
+    EXTENSION_WALL_S = 1500.0
+    HEALTHY_PROBE_MBPS = 30.0
     FORCED_TRY_S = 300.0
     ext_t0 = time.perf_counter()
     last_try = ext_t0  # probes first; force a pass once FORCED_TRY_S elapses

@@ -20,11 +20,27 @@ class AmbiEncoder:
         self.format = ambi_format
 
     def encode(self, sources) -> AmbisonicArray:
-        """Static sources: (T,) signals x SH matrix -> (T, num_channels)."""
+        """Static sources: (T,) signals x SH matrix -> (T, num_channels).
+
+        MovingSources are routed to encode_moving (and mixed lists are
+        encoded per kind and summed). The reference (encoder.py:10-22)
+        silently encodes a moving source at its *placeholder* position
+        (0,0,0) unless the caller runs the tic() loop — a plain bug, fixed
+        here per the repo convention.
+        """
         if isinstance(sources, PositionalSource):
             sources = [sources]
         assert all(isinstance(s, PositionalSource) for s in sources)
         assert all(s.signal.ndim == 1 for s in sources)
+        moving = [s for s in sources if isinstance(s, MovingSource)]
+        if moving:
+            out = self.encode_moving(moving)
+            static = [s for s in sources if not isinstance(s, MovingSource)]
+            if static:
+                rest = self.encode(static).data
+                n = min(out.data.shape[0], rest.shape[0])
+                out = AmbisonicArray(out.data[:n] + rest[:n], self.format)
+            return out
         fmt = self.format
         Y = spherical_harmonics_matrix([s.position for s in sources], fmt.order,
                                        fmt.ordering, fmt.normalization)

@@ -191,19 +191,21 @@ class MonoToAmbix:
         part_elems = -(-out_elems // n_parts)
         self._n_out = n_out
 
-        def fwd_span(state, span, rel, valid, video_u8):
+        def fwd_span(state, span, rel, video_u8):
             """Forward over windows gathered on-device from one audio span.
 
             span: (L, n_in) f32; rel: (B,) i32 window start offsets into
-            span; valid: (B,) f32 lane mask; video_u8: uint8 frames — either
-            (B, T, H, W, 3) RGB or (B, T, H*3/2, W) raw I420 planes (the
-            rank picks the branch at trace time; planes are chroma-upsampled
-            and color-converted on device) — or None. Padded lanes are
-            zeroed (not dropped): the model runs BatchNorm on batch
-            statistics even at eval (the reference quirk, models/resnet.py
-            docstring), so real lanes see pad lanes through the batch
-            moments — zero lanes reproduce the host/reference zero-padding
-            bit for bit.
+            span with PAD LANES ENCODED AS -1 (the lane-validity mask is
+            derived on device — one fewer tunnel RPC per batch than shipping
+            a separate f32 mask; ~30 ms of fixed roundtrip latency each on
+            the axon link); video_u8: uint8 frames — either (B, T, H, W, 3)
+            RGB or (B, T, H*3/2, W) raw I420 planes (the rank picks the
+            branch at trace time; planes are chroma-upsampled and
+            color-converted on device) — or None. Padded lanes are zeroed
+            (not dropped): the model runs BatchNorm on batch statistics even
+            at eval (the reference quirk, models/resnet.py docstring), so
+            real lanes see pad lanes through the batch moments — zero lanes
+            reproduce the host/reference zero-padding bit for bit.
             """
             import jax.numpy as jnp
 
@@ -212,6 +214,8 @@ class MonoToAmbix:
                 # (utils/io_audio.py), so the host re-quantization is exact
                 # and the span ships at half the f32 bytes
                 span = span.astype(jnp.float32) / 32768.0
+            valid = (rel >= 0).astype(jnp.float32)
+            offs = jnp.maximum(rel, 0)
             # batched dynamic_slice, NOT take with a (B, snd_size) index
             # matrix: the latter materializes B*snd_size int32 indices and
             # gathers element-wise — measured 49.6 ms vs 1.7 ms for the
@@ -219,7 +223,7 @@ class MonoToAmbix:
             # so only the B start offsets are really dynamic)
             audio = jax.vmap(
                 lambda r: jax.lax.dynamic_slice(
-                    span, (r, 0), (snd_size, span.shape[1])))(rel)
+                    span, (r, 0), (snd_size, span.shape[1])))(offs)
             audio = audio * valid[:, None, None]
             video = None
             if video_u8 is not None:
@@ -372,7 +376,9 @@ class MonoToAmbix:
             starts = [g.chunk_start_sample(t) for t in batch_ts]
             rel = np.array(starts, np.int32) - starts[0]
             assert rel.max() + g.snd_size <= span_len, "window drift > slack"
-            rel = np.concatenate([rel, np.full(B - n, rel[-1], np.int32)])
+            # pad lanes ride as rel=-1: fwd_span derives the lane mask from
+            # the sign, so no separate `valid` upload is needed
+            rel = np.concatenate([rel, np.full(B - n, -1, np.int32)])
             span = ar.get(starts[0] / rate, span_len, None)[:, :g.num_in_channels]
             video_u8 = None
             if video_reader is not None:
@@ -392,8 +398,7 @@ class MonoToAmbix:
             i16 = pcm16_exact(span)
             if i16 is not None:
                 span = i16
-            valid = (np.arange(B) < n).astype(np.float32)
-            yield n, span, rel, valid, video_u8, mono
+            yield n, span, rel, video_u8, mono
 
     def _predict_span_ondevice(self, input_folder: str, start: float,
                                duration: float | None):
@@ -456,22 +461,21 @@ class MonoToAmbix:
             self.h2d_stats["fetch_seconds"] += _time.perf_counter() - t0
             pred_fill += n * g.snd_dur
 
-        for n, span, rel, valid, video_u8, mono in BackgroundGenerator(
+        for n, span, rel, video_u8, mono in BackgroundGenerator(
                 self._span_batches(reader, input_folder), depth=2):
             mono_out[mono_fill: mono_fill + mono.shape[0]] = mono
             mono_fill += mono.shape[0]
             t0 = _time.perf_counter()
-            nbytes = span.nbytes + rel.nbytes + valid.nbytes
+            nbytes = span.nbytes + rel.nbytes
             span = jax.device_put(span, self._rep_shd)
             rel = jax.device_put(rel, self._batch_shd)
-            valid = jax.device_put(valid, self._batch_shd)
             if video_u8 is not None:
                 nbytes += video_u8.nbytes
                 video_u8 = jax.device_put(video_u8, self._batch_shd)
             self.h2d_stats["bytes"] += nbytes
             self.h2d_stats["seconds"] += _time.perf_counter() - t0
             self.h2d_stats["batches"] += 1
-            out = self.fwd_span(self.state, span, rel, valid, video_u8)
+            out = self.fwd_span(self.state, span, rel, video_u8)
             pending.append((n, out))
             if len(pending) > 2:
                 drain(pending.pop(0))

@@ -348,12 +348,11 @@ class StreamingMonoToAmbix:
             return np.concatenate([s.window_mono(k), pred], axis=1)
         span = np.zeros((self._span_len, 1), np.float32)
         span[: g.snd_size, 0] = s.window_samples(k)
-        rel = np.zeros((1,), np.int32)
-        valid = np.ones((1,), np.float32)
+        rel = np.zeros((1,), np.int32)  # lane 0 valid (rel >= 0)
         frames = s.window_frames(k)
         video_u8 = None if frames is None else frames[None]  # (1, T, H, W, 3)
         parts = self.engine.fwd_span(
-            self.engine.state, jax.device_put(span), rel, valid, video_u8)
+            self.engine.state, jax.device_put(span), rel, video_u8)
         # fwd_span returns sub-cliff fetch parts; at batch 1 (28 KB) that is
         # a single part, but concatenate keeps this correct for any engine
         pred = np.concatenate([np.asarray(p) for p in parts])

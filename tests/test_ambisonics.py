@@ -148,6 +148,30 @@ def test_moving_source_trajectory_matches_tic():
     np.testing.assert_allclose(traj, ticked, atol=1e-9)
 
 
+def test_encode_routes_moving_sources():
+    """encode(MovingSource) must follow the trajectory, not the placeholder.
+
+    The reference (encoder.py:10-22) silently encodes a moving source at its
+    uninitialized position (0,0,0) unless the caller runs the tic() loop;
+    here encode() delegates to encode_moving and mixed lists sum per kind.
+    """
+    from spatialaudiogen_tpu.ambisonics.position import MovingSource, PositionalSource
+
+    rng = np.random.RandomState(7)
+    rate = 100
+    sig = rng.randn(300)
+    pts = [Position(p, 0.0, 1.0, "polar") for p in (-1.0, 0.5, 2.0)]
+    fmt = AmbiFormat(order=1, sample_rate=rate)
+    enc = AmbiEncoder(fmt)
+    moving = enc.encode(MovingSource(sig, pts, rate)).data
+    np.testing.assert_allclose(
+        moving, enc.encode_moving(MovingSource(sig, pts, rate)).data)
+    assert (moving[:, 1] ** 2).mean() > 1e-3  # Y carries the sweep
+    static = PositionalSource(0.5 * sig, Position(0, 0, 1, "cartesian"), rate)
+    mixed = enc.encode([MovingSource(sig, pts, rate), static]).data
+    np.testing.assert_allclose(mixed, moving + enc.encode(static).data)
+
+
 def test_rotation_matrix_orthonormal():
     for a in (-3.0, 0.0, 1.5):
         r = foa_rotation_matrix(a)

@@ -136,10 +136,8 @@ def build_deploy_span(batch: int, bf16: bool):
     rng = np.random.RandomState(0)
     span = rng.randint(-2000, 2000,
                        (span_len, g.num_in_channels)).astype(np.int16)
-    rel = (np.arange(batch) * g.snd_dur).astype(np.int32)
-    valid = np.ones(batch, np.float32)
-    args = (m.state, jax.device_put(span), jax.device_put(rel),
-            jax.device_put(valid), None)
+    rel = (np.arange(batch) * g.snd_dur).astype(np.int32)  # all lanes valid
+    args = (m.state, jax.device_put(span), jax.device_put(rel), None)
     return m.fwd_span, args
 
 
